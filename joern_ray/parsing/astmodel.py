@@ -63,6 +63,11 @@ OPERATORS = {
 STATIC_DISPATCH = "STATIC_DISPATCH"
 DYNAMIC_DISPATCH = "DYNAMIC_DISPATCH"
 
+# Placeholder the parser embeds wherever a fragment-scoped FQN needs the
+# (url, fragment_idx) qualifier; substituted by flatten().  Keeping parse
+# output url-independent makes parse-tree caching by content hash sound.
+FRAG_PLACEHOLDER = "\x00FRAG\x00"
+
 
 @dataclass
 class PNode:
@@ -110,6 +115,10 @@ def flatten(
     nodes: list[dict] = []
     edges: list[dict] = []
     seq = 0
+    frag_key = f"{url}#{fragment_idx}"
+
+    def subst(s: str) -> str:
+        return s.replace(FRAG_PLACEHOLDER, frag_key) if FRAG_PLACEHOLDER in s else s
 
     def assign(n: PNode) -> None:
         nonlocal seq
@@ -121,14 +130,14 @@ def flatten(
                 "id": n.id,
                 "label": n.label,
                 "name": n.name,
-                "full_name": n.full_name,
+                "full_name": subst(n.full_name),
                 "signature": n.signature,
                 "code": n.code,
                 "order": n.order,
                 "argument_index": n.argument_index,
                 "dispatch_type": n.dispatch_type,
-                "method_full_name": n.method_full_name,
-                "type_full_name": n.type_full_name,
+                "method_full_name": subst(n.method_full_name),
+                "type_full_name": subst(n.type_full_name),
                 "line": n.line,
                 "col": n.col,
                 "url": url,

@@ -18,7 +18,7 @@ container has no tree-sitter and no JVM.  Design goals, in order:
 
 from __future__ import annotations
 
-from .astmodel import DYNAMIC_DISPATCH, OPERATORS, STATIC_DISPATCH, PNode
+from .astmodel import DYNAMIC_DISPATCH, FRAG_PLACEHOLDER, OPERATORS, STATIC_DISPATCH, PNode
 from .tokenizer import Tok, tokenize
 
 MAX_NODES_PER_FRAGMENT = 50_000  # bail-out analog of reference's 4000-defs guard
@@ -90,7 +90,7 @@ class FragmentParser:
         self.node_count = 0
         self.lambda_counter = 0
         self.lambda_stack: list[list[PNode]] = []
-        frag_key = f"{url}#{fragment_idx}"
+        frag_key = FRAG_PLACEHOLDER
         root = PNode(
             "NAMESPACE_BLOCK",
             name="<global>",
@@ -969,7 +969,7 @@ class FragmentParser:
         params = self._parse_params()
         m = self._make_method_shell(
             name,
-            name if not name.startswith("<lambda>") else f"{name}@{self.url}#{self.fragment_idx}",
+            name if not name.startswith("<lambda>") else f"{name}@{FRAG_PLACEHOLDER}",
             f"ANY({','.join('ANY' for _ in params)})",
             params,
             "ANY",
@@ -988,7 +988,7 @@ class FragmentParser:
         method, return a METHOD_REF expression node."""
         name = f"<lambda>{self.lambda_counter}"
         self.lambda_counter += 1
-        full = f"{name}@{self.url}#{self.fragment_idx}"
+        full = f"{name}@{FRAG_PLACEHOLDER}"
         self.scopes.append({})
         m = self._make_method_shell(
             name, full, f"ANY({','.join('ANY' for _ in params)})", params, "ANY", tok
@@ -1447,7 +1447,7 @@ class FragmentParser:
             self.i += 1
         else:
             self.lambda_counter += 1
-        full = f"{name}@{self.url}#{self.fragment_idx}"
+        full = f"{name}@{FRAG_PLACEHOLDER}"
         self.scopes.append({})
         params = self._parse_params()
         m = self._make_method_shell(

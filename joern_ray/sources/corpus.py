@@ -1,0 +1,295 @@
+"""Deterministic synthetic webtext corpus (FIXTURES.md §1-2).
+
+Generates the `input_hint` table shape `(url, warc_ts, html, text, lang)`
+with embedded C / C++ / Java / JavaScript code fragments modeled on the
+reference's test programs (`tests/code/c/test.c`, `CallTests.scala:17-23`,
+`tests/code/jssrc/simple.js`, `tests/code/javasrc/MethodTest.java` — see
+FIXTURES.md F1-F10).  Everything is a pure function of (seed, doc index):
+no wall clock, no network, no external data.
+
+Scale path: the corpus is generated *distributed* — `ray.data.range(n)`
+→ `map_batches(gen_docs_batch)` — so the bench corpus never materializes
+on the driver.  `text` is stored as `extract_text(html)` so tests can
+assert the byte-identical-extraction invariant per url.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pyarrow as pa
+
+from ..schemas import DOCS_SCHEMA
+from ..stages.extract import extract_text
+
+SEED = 42
+EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
+
+# ---------------------------------------------------------------------------
+# Fragment template bank.  Each template is (lang, fn taking a Random ->
+# code str).  Templates are parameterized so FQNs/bodies vary per doc while
+# remaining deterministic.
+# ---------------------------------------------------------------------------
+
+_HOT_CALLS = ["malloc", "printf", "memcpy"]  # hot-key skew fodder (F8)
+
+
+def _f1_c_call(r: random.Random) -> str:
+    a, b = r.randint(1, 9), r.randint(1, 9)
+    fn = f"add{r.randint(0, 999)}"
+    return (
+        f"int {fn}(int x, int y) {{ return x + y; }}\n"
+        f'int main(int argc, char **argv) {{ printf("%d\\n", {fn}(({a}+{b}), {b})); }}\n'
+    )
+
+
+def _f2_c_def(r: random.Random) -> str:
+    k = r.randint(0, 49)
+    return (
+        "#include <stdio.h>\n"
+        f"void print_number_{k}(int x) {{\n  printf(\"%d\\n\", x);\n}}\n"
+    )
+
+
+def _f2_c_use(r: random.Random) -> str:
+    k = r.randint(0, 49)
+    v = r.randint(1, 99)
+    return (
+        f"int main(void) {{\n  print_number_{k}({v});\n  return 0;\n}}\n"
+    )
+
+
+def _f3_c_uaf(r: random.Random) -> str:
+    n = r.randint(8, 64)
+    return (
+        "int use_after_free(void) {\n"
+        f"  char *x = malloc({n});\n"
+        "  free(x);\n"
+        "  x[0] = 'a';\n"
+        "  return x[0];\n"
+        "}\n"
+    )
+
+
+def _f4_c_control(r: random.Random) -> str:
+    lim = r.randint(2, 9)
+    return (
+        "int control(int x) {\n"
+        f"  if (x < {lim}) {{\n    x = x + 1;\n  }} else {{\n    x = x - 1;\n  }}\n"
+        f"  while (x > 0 && x < {lim * 2}) {{\n    x--;\n  }}\n"
+        f"  for (int i = 0; i < {lim}; i++) {{\n    x += i;\n  }}\n"
+        "  return x;\n"
+        "}\n"
+    )
+
+
+def _f5_js(r: random.Random) -> str:
+    prop = f"prop{r.randint(0, 99)}"
+    return (
+        "function lookForProperty(obj) {\n"
+        f"  var found = obj.{prop};\n"
+        "  if (found) {\n    return found;\n  }\n"
+        "  return null;\n"
+        "}\n"
+        f"var handler = function (x) {{ return lookForProperty(x); }};\n"
+        f"var fired = handler({{ {prop}: {r.randint(1, 9)} }});\n"
+    )
+
+
+def _f6_java(r: random.Random) -> str:
+    cls = f"Widget{r.randint(0, 199)}"
+    n = r.randint(1, 9)
+    return (
+        f"public class {cls} {{\n"
+        "  private int count;\n"
+        f"  public {cls}(int c) {{ this.count = c; }}\n"
+        "  public int getCount() { return count; }\n"
+        f"  public int callsExternalMethod(int x) {{\n"
+        f"    int y = externalLib(x + {n});\n"
+        "    return y * count;\n"
+        "  }\n"
+        "}\n"
+    )
+
+
+def _f7_dup(r: random.Random) -> str:
+    v = r.randint(1, 5)
+    # FQN "helper" is intentionally shared across many docs (F7 canonicalization)
+    return f"static int helper() {{ return {v}; }}\n"
+
+
+def _f8_hot(r: random.Random) -> str:
+    h = r.choice(_HOT_CALLS)
+    n = r.randint(16, 256)
+    if h == "malloc":
+        body = f"  void *p = malloc({n});\n  return p != 0;\n"
+    elif h == "printf":
+        body = f'  printf("v=%d\\n", {n});\n  return 1;\n'
+    else:
+        body = f"  char b[{n}];\n  memcpy(b, src, {n});\n  return 1;\n"
+    return f"int hot_{h}_{r.randint(0, 9)}(char *src) {{\n{body}}}\n"
+
+
+def _f9_neardup(r: random.Random) -> str:
+    # same body shape, perturbed identifiers/whitespace (minhash fodder)
+    v = r.choice(["val", "value", "v", "tmp"])
+    pad = " " * r.randint(0, 3)
+    return (
+        f"int accumulate(int *{v}, int n) {{\n"
+        f"{pad}  int total = 0;\n"
+        f"{pad}  for (int i = 0; i < n; i++) {{ total += {v}[i]; }}\n"
+        f"{pad}  return total;\n"
+        "}\n"
+    )
+
+
+def _f10_cpp(r: random.Random) -> str:
+    n = r.randint(2, 20)
+    return (
+        f"int *grow(int n) {{\n  int *buf = new int({n});\n"
+        "  if (buf == nullptr) { return nullptr; }\n"
+        "  delete buf;\n  return buf;\n}\n"
+    )
+
+
+# (template fn, lang, weight) — language mix per FIXTURES.md: C 40 %,
+# JS 30 %, Java 20 %, C++ 10 %.
+_TEMPLATES: list[tuple] = [
+    (_f1_c_call, "c", 8),
+    (_f2_c_def, "c", 4),
+    (_f2_c_use, "c", 4),
+    (_f3_c_uaf, "c", 6),
+    (_f4_c_control, "c", 6),
+    (_f7_dup, "c", 4),
+    (_f8_hot, "c", 8),
+    (_f9_neardup, "c", 4),
+    (_f5_js, "javascript", 30),
+    (_f6_java, "java", 20),
+    (_f10_cpp, "cpp", 10),
+]
+_TEMPLATE_POP = [t for t in _TEMPLATES for _ in range(t[2])]
+
+_TOPICS = ["news", "blog", "docs", "forum", "wiki", "qa", "tutorial", "code"]
+_WORDS = (
+    "the quick brown fox jumps over lazy dog while considering distributed "
+    "systems data pipelines arrow columnar execution shuffles streaming "
+    "backpressure graph knowledge entity linking canonical forms"
+).split()
+
+
+def _escape_html(code: str) -> str:
+    return code.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def gen_doc(i: int, seed: int = SEED) -> dict:
+    """Pure function (seed, i) -> one docs row."""
+    r = random.Random((seed << 20) ^ i)
+    topic = _TOPICS[i % len(_TOPICS)]
+    url = f"https://host{i % 97}.example/{topic}/{i}"
+    lang = "en" if r.random() < 0.9 else r.choice(["de", "zh"])
+
+    # 0-3 code blocks; ~1.2 mean. 5 % of docs share byte-identical blocks
+    # (exact-dup fodder): they draw from a tiny fixed pool.
+    n_frags = r.choices([0, 1, 2, 3], weights=[25, 45, 22, 8])[0]
+    frags: list[tuple[str, str]] = []
+    for _ in range(n_frags):
+        if r.random() < 0.05:
+            rr = random.Random(seed ^ 0xDEAD ^ (i % 7))  # shared pool of 7
+            fn, flang, _w = rr.choice(_TEMPLATE_POP)
+            frags.append((flang, fn(rr)))
+        else:
+            fn, flang, _w = r.choice(_TEMPLATE_POP)
+            frags.append((flang, fn(r)))
+
+    paras = [
+        " ".join(r.choice(_WORDS) for _ in range(r.randint(8, 24)))
+        for _ in range(r.randint(2, 5))
+    ]
+    parts = [
+        f"<html><head><title>{topic} {i}</title>",
+        "<script>trackPageView();</script><style>.x{color:red}</style></head>",
+        f'<body><nav>home | {topic}</nav><h1>{topic} page {i}</h1>',
+    ]
+    for j, para in enumerate(paras):
+        parts.append(f"<p>{para}</p>")
+        if j < len(frags):
+            flang, code = frags[j]
+            name = {"c": "c", "cpp": "cpp", "java": "java", "javascript": "javascript"}[
+                flang
+            ]
+            parts.append(
+                f'<pre><code class="language-{name}">{_escape_html(code)}</code></pre>'
+            )
+    # leftover frags after the last paragraph
+    for flang, code in frags[len(paras):]:
+        parts.append(
+            f'<pre><code class="language-{flang}">{_escape_html(code)}</code></pre>'
+        )
+    # 1 % malformed pages: unclosed code block (reject-path fodder, F10)
+    if r.random() < 0.01:
+        parts.append('<pre><code class="language-c">int broken = ')
+    parts.append("<footer>© example</footer></body></html>")
+    html = "".join(parts).encode("utf-8")
+    return {
+        "url": url,
+        "warc_ts": EPOCH_US + i * 1_337_000_000,
+        "html": html,
+        "text": extract_text(html),
+        "lang": lang,
+    }
+
+
+def gen_docs_batch(batch: "pa.Table | dict", seed: int = SEED) -> pa.Table:
+    """map_batches UDF over `ray.data.range(n)` — batch carries an `id`
+    column of doc indices."""
+    ids = batch["id"] if isinstance(batch, dict) else batch.column("id")
+    idx = np.asarray(ids)
+    rows = [gen_doc(int(i), seed) for i in idx]
+    return pa.table(
+        {
+            "url": pa.array([d["url"] for d in rows], pa.string()),
+            "warc_ts": pa.array(
+                [d["warc_ts"] for d in rows], pa.timestamp("us")
+            ),
+            "html": pa.array([d["html"] for d in rows], pa.large_binary()),
+            "text": pa.array([d["text"] for d in rows], pa.string()),
+            "lang": pa.array([d["lang"] for d in rows], pa.string()),
+        },
+        schema=DOCS_SCHEMA,
+    )
+
+
+def docs_dataset(n_docs: int, seed: int = SEED, parallelism: int = -1):
+    """Distributed corpus as a Ray Dataset (lazy; generation happens inside
+    map_batches tasks, never on the driver)."""
+    import ray.data
+
+    ds = ray.data.range(n_docs, override_num_blocks=parallelism if parallelism > 0 else None)
+    return ds.map_batches(
+        lambda b: gen_docs_batch(b, seed), batch_format="pyarrow", batch_size=256
+    )
+
+
+def docs_table(n_docs: int, seed: int = SEED, offset: int = 0) -> pa.Table:
+    """Driver-side small corpus for unit tests (no Ray)."""
+    rows = pa.table({"id": pa.array(range(offset, offset + n_docs), pa.int64())})
+    return gen_docs_batch(rows, seed)
+
+
+def write_corpus(path: str, n_docs: int, seed: int = SEED, rows_per_file: int = 2048) -> str:
+    """Write the corpus to partitioned Parquet under `path` (driver-side
+    loop of small tables — used by tests/bench to create a stable on-disk
+    input; the scalable path is `docs_dataset`)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    part = 0
+    for start in range(0, n_docs, rows_per_file):
+        n = min(rows_per_file, n_docs - start)
+        t = docs_table(n, seed, offset=start)
+        pq.write_table(t, os.path.join(path, f"part-{part:05d}.parquet"))
+        part += 1
+    return path
