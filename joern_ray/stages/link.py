@@ -1,0 +1,443 @@
+"""Cross-document linking — the shuffle layer (SURVEY.md §2.4-2.5).
+
+Re-expresses the reference's linker passes (`LinkingUtil.linkToSingle`,
+`x2cpg/.../utils/LinkingUtil.scala:35-121`: probe a full-name index, emit
+edge, drop+log misses) for Ray Data.  Two structural tricks make most
+linkers shuffle-free:
+
+1. **Content-hash dimension ids.**  TYPE / FILE / NAMESPACE node ids are
+   pure functions of their key (`hash64("TYPE", fqn)`), so fact→dimension
+   edges (EVAL_TYPE, SOURCE_FILE, namespace REF) are computed map-side in
+   the emitting batch with NO join; only the tiny dimension table needs a
+   distinct (`ds.unique`).  The reference instead builds per-pass hash
+   maps over the whole graph (`TypeEvalPass.scala:9-43`,
+   `FileCreationPass.scala:15-58`, `NamespaceCreator.scala:13-27`).
+
+2. **Method linking is the one real join** (`StaticCallLinker.scala:
+   11-38`, `MethodRefLinker.scala:12-29`): CALL.method_full_name ⋈
+   METHOD.full_name.  Two regimes:
+   - broadcast: method index `ray.put` once, read per actor (small side);
+   - salted shuffle: tagged union of calls+methods grouped on
+     `(fqn, salt)` with hot keys (malloc/printf/<operator>.assignment —
+     the north rule's skew case) replicated k ways on the dimension side.
+
+Unresolved calls link to deterministic stubs `hash64("STUB", fqn)`
+(reference `MethodStubCreator.scala:24-70` creates one stub per distinct
+unresolved full name).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash64
+from ..schemas import EDGES_SCHEMA, NODES_SCHEMA, rows_to_table
+
+# Labels whose rows get SOURCE_FILE edges (reference `FileCreationPass`
+# links METHOD/TYPE_DECL/NAMESPACE_BLOCK to FILE).
+_FILE_LINKED = ("METHOD", "TYPE_DECL", "NAMESPACE_BLOCK")
+
+
+def type_id(fqn: str) -> int:
+    return hash64("TYPE", fqn)
+
+
+def file_id(url: str) -> int:
+    return hash64("FILE", url)
+
+
+def namespace_id(name: str) -> int:
+    return hash64("NAMESPACE", name)
+
+
+def stub_id(fqn: str) -> int:
+    return hash64("STUB", fqn)
+
+
+# ---------------------------------------------------------------------------
+# Map-side linkers (no shuffle): EVAL_TYPE, SOURCE_FILE, NAMESPACE REF.
+# ---------------------------------------------------------------------------
+
+
+def mapside_link_edges(batch: pa.Table) -> pa.Table:
+    """nodes batch -> edges batch of EVAL_TYPE + SOURCE_FILE + NS REF."""
+    labels = batch.column("label").to_pylist()
+    ids = batch.column("id").to_pylist()
+    tfns = batch.column("type_full_name").to_pylist()
+    urls = batch.column("url").to_pylist()
+    names = batch.column("name").to_pylist()
+    rows: list[dict] = []
+    for lab, nid, tfn, url, name in zip(labels, ids, tfns, urls, names):
+        if tfn:
+            rows.append(
+                {"subj": nid, "pred": "EVAL_TYPE", "obj": type_id(tfn), "variable": None}
+            )
+        if lab in _FILE_LINKED and url:
+            rows.append(
+                {"subj": nid, "pred": "SOURCE_FILE", "obj": file_id(url), "variable": None}
+            )
+        if lab == "NAMESPACE_BLOCK":
+            rows.append(
+                {"subj": nid, "pred": "REF", "obj": namespace_id(name), "variable": None}
+            )
+    return rows_to_table(rows, EDGES_SCHEMA)
+
+
+def type_dimension(nodes_ds) -> "pa.Table":
+    """Distinct TYPE nodes from every non-empty type_full_name (reference
+    `TypeNodePass.scala:18-60`: global distinct, sorted for determinism).
+    Small result — ok to collect."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch.column("type_full_name")
+        mask = pc.and_(col.is_valid(), pc.not_equal(col, ""))
+        # pre-distinct inside the batch: shrinks the shuffle-free unique
+        vals = pc.unique(batch.filter(mask).column("type_full_name"))
+        return pa.table({"type_full_name": vals})
+
+    uniq = nodes_ds.map_batches(project, batch_format="pyarrow").unique(
+        "type_full_name"
+    )
+    fqns = sorted(uniq)
+    return rows_to_table(
+        [
+            {
+                "id": type_id(f),
+                "label": "TYPE",
+                "name": f,
+                "full_name": f,
+                "order": 0,
+                "argument_index": -1,
+                "line": -1,
+                "col": -1,
+            }
+            for f in fqns
+        ],
+        NODES_SCHEMA,
+    )
+
+
+def file_nodes_batch(batch: pa.Table) -> pa.Table:
+    """docs batch -> FILE node rows (reference `FileCreationPass` creates
+    missing FILE nodes).  Runs map-side over the docs table — urls are
+    already distinct there, so no shuffle and no driver collect, which
+    matters at 10^12 docs where a FILE dimension can't be materialized."""
+    urls = batch.column("url").to_pylist()
+    return rows_to_table(
+        [
+            {
+                "id": file_id(u),
+                "label": "FILE",
+                "name": u,
+                "full_name": u,
+                "url": u,
+                "order": 0,
+                "argument_index": -1,
+                "line": -1,
+                "col": -1,
+            }
+            for u in urls
+        ],
+        NODES_SCHEMA,
+    )
+
+
+def namespace_dimension(nodes_ds) -> "pa.Table":
+    """One NAMESPACE node per distinct NAMESPACE_BLOCK name (reference
+    `NamespaceCreator.scala:13-27` groupBy(_.name))."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("label"), "NAMESPACE_BLOCK")
+        return pa.table({"name": pc.unique(batch.filter(m).column("name"))})
+
+    names = sorted(n for n in nodes_ds.map_batches(project, batch_format="pyarrow").unique("name") if n)
+    return rows_to_table(
+        [
+            {
+                "id": namespace_id(n),
+                "label": "NAMESPACE",
+                "name": n,
+                "full_name": n,
+                "order": 0,
+                "argument_index": -1,
+                "line": -1,
+                "col": -1,
+            }
+            for n in names
+        ],
+        NODES_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization: FullNameUniquenessPass analog (reference
+# `c2cpg/.../FullNameUniquenessPass.scala:31-127` — group by full_name,
+# stable-sort by (filename, line, col), rename tail `<duplicate>N`).
+# ---------------------------------------------------------------------------
+
+
+def canonicalize_group(batch: pa.Table) -> pa.Table:
+    """map_groups UDF over METHOD/TYPE_DECL rows grouped by full_name:
+    keeps the stable-first row as canonical, renames the rest."""
+    if batch.num_rows <= 1:
+        return batch
+    order = pc.sort_indices(
+        batch,
+        sort_keys=[("url", "ascending"), ("fragment_idx", "ascending"),
+                   ("line", "ascending"), ("col", "ascending")],
+    )
+    batch = batch.take(order)
+    fns = batch.column("full_name").to_pylist()
+    out = [fns[0]]
+    for i in range(1, len(fns)):
+        out.append(f"{fns[i]}<duplicate>{i - 1}")
+    return batch.set_column(
+        batch.schema.get_field_index("full_name"), "full_name", pa.array(out, pa.string())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Method linking: broadcast regime.
+# ---------------------------------------------------------------------------
+
+
+def method_index_table(methods_ds) -> pa.Table:
+    """(full_name, id) for canonical METHOD rows — the broadcast
+    dimension.  Collected to the driver, so callers must gate on method
+    count (the pipeline falls back to `salted_call_link` past the
+    broadcast threshold).  First occurrence per full_name is canonical —
+    deterministic because canonicalization renamed collisions already."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("label"), "METHOD")
+        return batch.filter(m).select(["full_name", "id"])
+
+    parts = list(
+        methods_ds.map_batches(project, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    if not parts:
+        return pa.table({"full_name": pa.array([], pa.string()), "id": pa.array([], pa.uint64())})
+    t = pa.concat_tables(parts)
+    # first-wins dedup, deterministic order by (full_name, id)
+    t = t.take(pc.sort_indices(t, sort_keys=[("full_name", "ascending"), ("id", "ascending")]))
+    import numpy as np
+
+    fns = t.column("full_name").to_numpy(zero_copy_only=False)
+    keep = np.ones(len(fns), dtype=bool)
+    keep[1:] = fns[1:] != fns[:-1]
+    return t.filter(pa.array(keep))
+
+
+class CallLinker:
+    """Actor-pool stage over CALL / METHOD_REF node batches.
+
+    __init__ receives the ray.put object ref of the method index table and
+    builds the fqn->id dict ONCE per actor (reference builds its index
+    lazily per pass, `LinkingUtil.scala:20-30`; `DynamicCallLinker.
+    initMaps`, `DynamicCallLinker.scala:44-51`).
+
+    Emits: CALL edges (call -> method/stub), REF edges (method_ref ->
+    method/stub).  Misses become stub targets — never dropped silently
+    (`logFailedDstLookup` analog is the stub row itself).
+    """
+
+    def __init__(self, index_ref) -> None:
+        import ray
+
+        t: pa.Table = ray.get(index_ref) if not isinstance(index_ref, pa.Table) else index_ref
+        self.index: dict[str, int] = dict(
+            zip(t.column("full_name").to_pylist(), t.column("id").to_pylist())
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_pylist()
+        ids = batch.column("id").to_pylist()
+        fqns = batch.column("method_full_name").to_pylist()
+        rows: list[dict] = []
+        idx = self.index
+        for lab, nid, fqn in zip(labels, ids, fqns):
+            if not fqn:
+                continue
+            if lab == "CALL":
+                tgt = idx.get(fqn)
+                rows.append(
+                    {
+                        "subj": nid,
+                        "pred": "CALL",
+                        "obj": tgt if tgt is not None else stub_id(fqn),
+                        "variable": None,
+                    }
+                )
+            elif lab == "METHOD_REF":
+                tgt = idx.get(fqn)
+                rows.append(
+                    {
+                        "subj": nid,
+                        "pred": "REF",
+                        "obj": tgt if tgt is not None else stub_id(fqn),
+                        "variable": None,
+                    }
+                )
+        return rows_to_table(rows, EDGES_SCHEMA)
+
+
+def unresolved_stub_dimension(calls_ds, index_table: pa.Table) -> pa.Table:
+    """Distinct unresolved method_full_names -> stub METHOD rows
+    (reference `MethodStubCreator.scala:24-70`: one stub per distinct
+    CallSummary; we keep name/full_name/signature).  `calls_ds` must be
+    the CALL/METHOD_REF projection."""
+    known = set(index_table.column("full_name").to_pylist())
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch.column("method_full_name")
+        mask = pc.and_(col.is_valid(), pc.not_equal(col, ""))
+        return pa.table({"method_full_name": pc.unique(batch.filter(mask).column("method_full_name"))})
+
+    fqns = sorted(
+        f
+        for f in calls_ds.map_batches(project, batch_format="pyarrow").unique(
+            "method_full_name"
+        )
+        if f and f not in known
+    )
+    return rows_to_table(
+        [
+            {
+                "id": stub_id(f),
+                "label": "METHOD",
+                "name": f.rsplit(".", 1)[-1] if not f.startswith("<operator>") else f,
+                "full_name": f,
+                "signature": "",
+                "code": "<empty>",
+                "order": 0,
+                "argument_index": -1,
+                "line": -1,
+                "col": -1,
+                "lang": "",
+            }
+            for f in fqns
+        ],
+        NODES_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Method linking: salted-shuffle regime (huge dimension side).
+# ---------------------------------------------------------------------------
+
+
+def salted_call_link(facts_ds, methods_ds, hot_keys: set[str], n_salts: int = 16):
+    """Shuffle join CALL/METHOD_REF ⋈ METHOD on full_name with hot-key
+    salting: fact rows get salt = hash(subj) % n_salts for hot keys (0
+    otherwise); dimension rows for hot keys are replicated to every salt.
+    Group sizes stay bounded no matter how hot `<operator>.assignment` or
+    `printf` runs (SURVEY.md §7.3/§7.4-6).
+
+    Returns a Dataset of CALL/REF edge rows.
+    """
+
+    def tag_facts(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_pylist()
+        ids = batch.column("id").to_pylist()
+        fqns = batch.column("method_full_name").to_pylist()
+        rows = []
+        for lab, nid, fqn in zip(labels, ids, fqns):
+            if not fqn or lab not in ("CALL", "METHOD_REF"):
+                continue
+            salt = (nid % n_salts) if fqn in hot_keys else 0
+            rows.append(
+                {"key": f"{fqn}\x1f{salt}", "side": "F", "nid": nid, "lab": lab, "fqn": fqn}
+            )
+        return pa.table(
+            {
+                "key": pa.array([r["key"] for r in rows], pa.string()),
+                "side": pa.array([r["side"] for r in rows], pa.string()),
+                "nid": pa.array([r["nid"] for r in rows], pa.uint64()),
+                "lab": pa.array([r["lab"] for r in rows], pa.string()),
+                "fqn": pa.array([r["fqn"] for r in rows], pa.string()),
+            }
+        )
+
+    def tag_dims(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("label"), "METHOD")
+        b = batch.filter(mask)
+        fqns = b.column("full_name").to_pylist()
+        ids = b.column("id").to_pylist()
+        keys, sides, nids, labs, fq = [], [], [], [], []
+        for fqn, nid in zip(fqns, ids):
+            salts = range(n_salts) if fqn in hot_keys else (0,)
+            for s in salts:
+                keys.append(f"{fqn}\x1f{s}")
+                sides.append("D")
+                nids.append(nid)
+                labs.append("METHOD")
+                fq.append(fqn)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "side": pa.array(sides, pa.string()),
+                "nid": pa.array(nids, pa.uint64()),
+                "lab": pa.array(labs, pa.string()),
+                "fqn": pa.array(fq, pa.string()),
+            }
+        )
+
+    facts = facts_ds.map_batches(tag_facts, batch_format="pyarrow")
+    dims = methods_ds.map_batches(tag_dims, batch_format="pyarrow")
+    union = facts.union(dims)
+
+    def join_group(batch: pa.Table) -> pa.Table:
+        side = batch.column("side").to_pylist()
+        nids = batch.column("nid").to_pylist()
+        labs = batch.column("lab").to_pylist()
+        fqns = batch.column("fqn").to_pylist()
+        # deterministic canonical dim: min id among dims in group
+        dim_ids = [nids[i] for i in range(len(side)) if side[i] == "D"]
+        tgt = min(dim_ids) if dim_ids else None
+        rows = []
+        for i in range(len(side)):
+            if side[i] != "F":
+                continue
+            obj = tgt if tgt is not None else stub_id(fqns[i])
+            pred = "CALL" if labs[i] == "CALL" else "REF"
+            rows.append({"subj": nids[i], "pred": pred, "obj": obj, "variable": None})
+        return rows_to_table(rows, EDGES_SCHEMA)
+
+    return union.groupby("key").map_groups(join_group, batch_format="pyarrow")
+
+
+def key_count_survey(ds, column: str, threshold: int) -> set[str]:
+    """Distributed frequency survey: per-batch partial value_counts
+    (pre-aggregation — the combiner pattern the reference's accumulator
+    pass uses, `AstCreationPass.scala:27-72`) → small groupby sum →
+    driver-side filter.  Only keys ≥ threshold come back, so the
+    collected result stays tiny even at web scale.
+
+    Used for (a) hot-key detection before the salted join and (b) the
+    duplicated-FQN set before canonicalization (so the canonicalization
+    shuffle only moves rows that actually collide)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        mask = pc.and_(col.is_valid(), pc.not_equal(col, ""))
+        vc = batch.filter(mask).column(column).value_counts()
+        if len(vc) == 0:
+            return pa.table(
+                {"k": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        return pa.table({"k": vc.field("values").cast(pa.string()), "c": vc.field("counts")})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .sum("c")
+    )
+    out: set[str] = set()
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        ks = b.column("k").to_pylist()
+        cs = b.column("sum(c)").to_pylist()
+        out.update(k for k, c in zip(ks, cs) if c >= threshold)
+    return out

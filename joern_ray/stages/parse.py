@@ -132,6 +132,28 @@ class ParseFragments:
         return root, overlays
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # Accept detect_fragments' tagged union directly: upstream reject
+        # rows pass through unchanged; only fragment rows get parsed.
+        passthrough_rejects: list[dict] = []
+        if "row_kind" in batch.column_names:
+            import pyarrow.compute as pc
+
+            rej = batch.filter(pc.equal(batch.column("row_kind"), "reject"))
+            passthrough_rejects = [
+                {
+                    "url": u,
+                    "fragment_idx": i,
+                    "stage": s,
+                    "reason": r,
+                }
+                for u, i, s, r in zip(
+                    rej.column("url").to_pylist(),
+                    rej.column("fragment_idx").to_pylist(),
+                    rej.column("stage").to_pylist(),
+                    rej.column("reason").to_pylist(),
+                )
+            ]
+            batch = batch.filter(pc.equal(batch.column("row_kind"), "fragment"))
         urls = batch.column("url").to_pylist()
         idxs = batch.column("fragment_idx").to_pylist()
         langs = batch.column("frag_lang").to_pylist()
@@ -139,7 +161,7 @@ class ParseFragments:
         hashes = batch.column("content_hash").to_pylist()
         node_rows: list[dict] = []
         edge_rows: list[dict] = []
-        reject_rows: list[dict] = []
+        reject_rows: list[dict] = passthrough_rejects
         for url, idx, lang, code, chash in zip(urls, idxs, langs, codes, hashes):
             if lang not in self.parsers:
                 reject_rows.append(
