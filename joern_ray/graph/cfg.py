@@ -586,6 +586,17 @@ def reaching_def_edges(
     scala:26-52`)."""
     params = [c for c in method.children if c.label == "METHOD_PARAMETER_IN"]
     index = {id(n): i for i, n in enumerate(nodes)}
+    # LHS identifier of a PLAIN assignment is a pure def — not a use
+    # (compound assignments/incr-decr read the old value, so they stay).
+    pure_def_targets: set[int] = set()
+    for n in nodes:
+        if (
+            n.label == "CALL"
+            and n.name == "<operator>.assignment"
+            and n.children
+            and n.children[0].label == "IDENTIFIER"
+        ):
+            pure_def_targets.add(id(n.children[0]))
     defs: list[tuple[int, str]] = []  # (node_idx, var)
     for n in nodes:
         v = _defined_var(n)
@@ -640,6 +651,8 @@ def reaching_def_edges(
     out_edges: list[tuple[PNode, PNode, str]] = []
     seen: set[tuple[int, int, str]] = set()
     for i, n in enumerate(nodes):
+        if id(n) in pure_def_targets:
+            continue
         for var in _used_vars(n):
             for di in var_defs.get(var, ()):
                 if IN[i] & (1 << di):

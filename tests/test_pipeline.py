@@ -1,0 +1,173 @@
+"""t1 smoke: full Ray pipeline on a tiny corpus — golden triples,
+manifests, resume idempotence (FIXTURES.md §4)."""
+
+import collections
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from joern_ray.functions.views import edges_fqn_table, precision_recall
+
+OUT = "/tmp/joern_ray_test_pipeline"
+
+
+def _docs_factory(columns):
+    from joern_ray.sources.corpus import docs_dataset
+
+    ds = docs_dataset(120, parallelism=4)
+    if columns:
+        ds = ds.map_batches(lambda b: b.select(columns), batch_format="pyarrow")
+    return ds
+
+
+@pytest.fixture(scope="module")
+def cpg(ray_session):
+    from joern_ray.pipelines.cpg import build_cpg
+
+    shutil.rmtree(OUT, ignore_errors=True)
+    res = build_cpg(
+        _docs_factory, OUT, "test-120", num_partitions=4, parse_concurrency=(1, 2)
+    )
+    yield res
+
+
+def _read_all(ray_session, path):
+    import ray.data
+
+    return pa.concat_tables(
+        list(ray.data.read_parquet(path).iter_batches(batch_format="pyarrow"))
+    )
+
+
+def test_pipeline_produces_graph(ray_session, cpg):
+    nodes = _read_all(ray_session, cpg["nodes_path"])
+    edges = _read_all(ray_session, cpg["edges_path"])
+    assert nodes.num_rows > 1000 and edges.num_rows > 5000
+    labels = set(nodes.column("label").to_pylist())
+    assert {"METHOD", "CALL", "IDENTIFIER", "LITERAL", "FILE", "TYPE", "NAMESPACE"} <= labels
+    preds = set(edges.column("pred").to_pylist())
+    assert {"AST", "CFG", "CALL", "ARGUMENT", "REACHING_DEF", "DOMINATE", "EVAL_TYPE", "SOURCE_FILE"} <= preds
+
+
+def test_node_ids_unique(ray_session, cpg):
+    nodes = _read_all(ray_session, cpg["nodes_path"])
+    ids = nodes.column("id").to_pylist()
+    assert len(ids) == len(set(ids))
+
+
+def test_every_call_linked(ray_session, cpg):
+    nodes = _read_all(ray_session, cpg["nodes_path"])
+    edges = _read_all(ray_session, cpg["edges_path"])
+    calls = nodes.filter(pc.equal(nodes.column("label"), "CALL"))
+    call_edges = edges.filter(pc.equal(edges.column("pred"), "CALL"))
+    # every CALL node has exactly one outgoing CALL edge (to method or stub)
+    assert call_edges.num_rows == calls.num_rows
+    node_ids = set(nodes.column("id").to_pylist())
+    dangling = [o for o in call_edges.column("obj").to_pylist() if o not in node_ids]
+    assert dangling == []  # stubs exist for all unresolved targets
+
+
+def test_manifests_written(cpg):
+    for p in (cpg["nodes_path"], cpg["edges_path"]):
+        assert os.path.exists(os.path.join(p, "_manifest.json"))
+        parts = [d for d in os.listdir(p) if d.startswith("part=")]
+        assert parts
+        for d in parts:
+            assert os.path.exists(os.path.join(p, d, "_manifest.json"))
+
+
+def test_resume_skips_and_is_identical(ray_session, cpg):
+    from joern_ray.pipelines.cpg import build_cpg
+
+    before = _read_all(ray_session, cpg["nodes_path"])
+    res2 = build_cpg(
+        _docs_factory, OUT, "test-120", num_partitions=4, parse_concurrency=(1, 2)
+    )
+    assert res2["resumed"] is True
+    after = _read_all(ray_session, cpg["nodes_path"])
+    assert before.equals(after)
+
+
+GOLDEN_DOC = (
+    '<html><body><pre><code class="language-c">'
+    "int add(int x, int y) { return x + y; }\n"
+    'int main(int argc, char **argv) { printf(&quot;%d&quot;, add((1+2), 3)); }\n'
+    "</code></pre></body></html>"
+)
+
+# Hand-derived golden triples for F1 (FIXTURES.md §2) — FQN-keyed, id-free.
+EXPECTED_F1 = {
+    # method structure
+    ("METHOD:add@1", "AST", "METHOD_PARAMETER_IN:x@1"),
+    ("METHOD:add@1", "AST", "METHOD_PARAMETER_IN:y@1"),
+    ("CALL:<operator>.addition@1", "ARGUMENT", "IDENTIFIER:x@1"),
+    ("CALL:<operator>.addition@1", "ARGUMENT", "IDENTIFIER:y@1"),
+    ("RETURN:return x + y@1", "AST", "CALL:<operator>.addition@1"),
+    # main's calls
+    ("CALL:printf@2", "ARGUMENT", 'LITERAL:"%d"@2'),
+    ("CALL:printf@2", "ARGUMENT", "CALL:add@2"),
+    ("CALL:add@2", "ARGUMENT", "CALL:<operator>.addition@2"),
+    ("CALL:add@2", "ARGUMENT", "LITERAL:3@2"),
+    # static call linking across the fragment
+    ("CALL:add@2", "CALL", "METHOD:add@1"),
+}
+
+
+def test_golden_f1_triples(ray_session):
+    """Parse the F1 fixture through the real stages and check the
+    hand-derived triple set at P/R = 1.0 on the asserted preds."""
+    from joern_ray.stages.extract import detect_fragments_batch
+    from joern_ray.stages.link import method_index_table  # noqa: F401
+    from joern_ray.stages.parse import ParseFragments
+
+    batch = pa.table({"url": ["https://g/1"], "html": [GOLDEN_DOC.encode()]})
+    frags = detect_fragments_batch(batch)
+    out = ParseFragments()(frags)
+    nodes = out.filter(pc.equal(out.column("row_kind"), "node"))
+    edges = out.filter(pc.equal(out.column("row_kind"), "edge"))
+    # link calls driver-side: name -> method id
+    midx = {
+        fn: i
+        for fn, i, lab in zip(
+            nodes.column("full_name").to_pylist(),
+            nodes.column("id").to_pylist(),
+            nodes.column("label").to_pylist(),
+        )
+        if lab == "METHOD"
+    }
+    link_rows = []
+    for lab, nid, fqn in zip(
+        nodes.column("label").to_pylist(),
+        nodes.column("id").to_pylist(),
+        nodes.column("method_full_name").to_pylist(),
+    ):
+        if lab == "CALL" and fqn in midx:
+            link_rows.append({"subj": nid, "pred": "CALL", "obj": midx[fqn], "variable": None})
+    from joern_ray.schemas import EDGES_SCHEMA, rows_to_table
+
+    all_edges = pa.concat_tables([edges.select(EDGES_SCHEMA.names), rows_to_table(link_rows, EDGES_SCHEMA)])
+    fqn = edges_fqn_table(nodes, all_edges)
+    got_all = {
+        (s.split("@")[0] + "@" + s.split("@")[-1], p, o.split("@")[0] + "@" + o.split("@")[-1])
+        for s, p, o in zip(
+            fqn.column("subj_fqn").to_pylist(),
+            fqn.column("pred").to_pylist(),
+            fqn.column("obj_fqn").to_pylist(),
+        )
+    }
+    _, r = precision_recall(got_all & EXPECTED_F1, EXPECTED_F1)
+    assert r == 1.0, f"missing: {EXPECTED_F1 - got_all}"
+
+
+def test_rejects_surface_in_parse_output(ray_session):
+    from joern_ray.stages.extract import detect_fragments_batch
+    from joern_ray.stages.parse import ParseFragments
+
+    bad = b'<pre><code class="language-c">int broken = '
+    batch = pa.table({"url": ["https://bad/1"], "html": [bad]})
+    out = ParseFragments()(detect_fragments_batch(batch))
+    kinds = collections.Counter(out.column("row_kind").to_pylist())
+    assert kinds["reject"] == 1 and kinds.get("node", 0) == 0
