@@ -1,16 +1,7 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in joern_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +11,109 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: deterministic webtext corpus (sf0.001 scale) →
+    full CPG build (parse + overlays + linking + partitioned write) →
+    returns the final edges Dataset."""
+    import ray.data
+
+    from joern_ray.pipelines.queries import _cpg_paths
+
+    res = _cpg_paths("/root/testdata/sf0.001")
+    return ray.data.read_parquet(res["edges_path"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from joern_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CPG flagship family (not SQL-expressible → rows-only checks)
+        "cpg_node_counts": q.cpg_node_counts,
+        "cpg_edge_counts": q.cpg_edge_counts,
+        "cpg_method_table": q.cpg_method_table,
+        "cpg_call_resolution": q.cpg_call_resolution,
+        "scan_dangerous_calls": q.scan_dangerous_calls,
+        # generic engine operators over testdata (SQL-checkable)
+        "lang_counts": q.lang_counts,
+        "exact_dedup_documents": q.exact_dedup_documents,
+        "token_count_ws": q.token_count_ws,
+        "doc_length_filter": q.doc_length_filter,
+        "top_users_by_events": q.top_users_by_events,
+        "events_daily_counts": q.events_daily_counts,
+        "pricing_summary": q.pricing_summary,
+        "customers_per_nation": q.customers_per_nation,
+        "distinct_part_types": q.distinct_part_types,
+        "orders_top_by_price": q.orders_top_by_price,
+        # similarity / dedup / text / multimodal operators
+        "embedding_topk": q.embedding_topk,
+        "embedding_near_dup_exact": q.embedding_near_dup_exact,
+        "embedding_near_dup_lsh": q.embedding_near_dup_lsh,
+        "embedding_ivf_topk": q.embedding_ivf_topk,
+        "minhash_near_dups_corpus": q.minhash_near_dups_corpus,
+        "simhash_near_dups_corpus": q.simhash_near_dups_corpus,
+        "lang_id_eval": q.lang_id_eval,
+        "doc_fingerprints": q.doc_fingerprints,
+        "quality_scores": q.quality_scores,
+        "media_feature_stats": q.media_feature_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lang_counts": (
+            "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "exact_dedup_documents": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_dups "
+            "FROM documents GROUP BY text ORDER BY doc_id"
+        ),
+        "token_count_ws": (
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens_ws "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "doc_length_filter": (
+            "SELECT doc_id, length(text) AS n_chars_text FROM documents "
+            "WHERE length(text) BETWEEN 100 AND 5000 ORDER BY doc_id"
+        ),
+        "top_users_by_events": (
+            "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id "
+            "ORDER BY n_events DESC, user_id LIMIT 10"
+        ),
+        "events_daily_counts": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n "
+            "FROM events GROUP BY day ORDER BY day"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(l_quantity) AS BIGINT) AS sum_qty, "
+            "count(*) AS count_order FROM lineitem "
+            "GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "customers_per_nation": (
+            "SELECT n_name AS nation, count(*) AS n_customers FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY nation"
+        ),
+        "distinct_part_types": (
+            "SELECT count(DISTINCT p_type) AS n_types FROM part"
+        ),
+        "orders_top_by_price": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 5"
+        ),
+        "embedding_topk": (
+            "SELECT vec_id, round(list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine "
+            "FROM embeddings WHERE vec_id <> 0 "
+            "ORDER BY list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id "
+            "LIMIT 10"
+        ),
+        "embedding_near_dup_exact": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 "
+            "ORDER BY id_a, id_b"
+        ),
+    }

@@ -1,0 +1,175 @@
+"""Benchmark harness.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "triples_per_sec": ...}
+
+--scaling: runs the headline CPG build twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs plus efficiency = (thr_32 / thr_8) / 4 — the sandbox
+evidence for the north rule's N vs 4N cluster criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_OUT = "/tmp/joern_ray_bench"
+
+
+def _docs_count() -> int:
+    name = os.path.basename(os.path.normpath(SF_DIR))
+    return {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000}.get(name, 30000)
+
+
+def run_cpg_build(num_cpus: int) -> dict:
+    """Cold CPG build (cache wiped) — the headline.  Returns seconds and
+    output row counts."""
+    import ray.data
+
+    from joern_ray.pipelines.cpg import build_cpg
+    from joern_ray.sources.corpus import docs_dataset
+
+    n = _docs_count()
+    out = os.path.join(BENCH_OUT, f"cpg_{n}_{num_cpus}")
+    shutil.rmtree(out, ignore_errors=True)
+
+    def docs_factory(columns):
+        ds = docs_dataset(n, parallelism=max(8, n // 256))
+        if columns:
+            ds = ds.map_batches(lambda b: b.select(columns), batch_format="pyarrow")
+        return ds
+
+    t0 = time.perf_counter()
+    res = build_cpg(
+        docs_factory,
+        out,
+        f"bench-{n}",
+        parse_concurrency=(1, max(2, num_cpus)),
+        num_partitions=32,
+    )
+    wall = time.perf_counter() - t0
+    nodes_manifest = json.load(open(os.path.join(res["nodes_path"], "_manifest.json")))
+    edges_manifest = json.load(open(os.path.join(res["edges_path"], "_manifest.json")))
+    n_rows = nodes_manifest["total_rows"] + edges_manifest["total_rows"]
+    return {
+        "sec": wall,
+        "rows": n_rows,
+        "triples_per_sec": n_rows / wall,
+        "n_docs": n,
+        "link_regime": res.get("link_regime"),
+    }
+
+
+def run_operator_queries() -> dict:
+    """Times a representative operator subset over $GRAFT_SF_DIR."""
+    from joern_ray.pipelines import queries as q
+
+    picks = [
+        "exact_dedup_documents",
+        "token_count_ws",
+        "pricing_summary",
+        "customers_per_nation",
+        "embedding_topk",
+        "minhash_near_dups_corpus",
+        "quality_scores",
+    ]
+    out = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        getattr(q, name)(SF_DIR)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main_bench() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    build = run_cpg_build(NUM_CPUS)
+    qtimes = {"cpg_build": round(build["sec"], 3)}
+    qtimes.update(run_operator_queries())
+    total = sum(qtimes.values())
+    print(
+        json.dumps(
+            {
+                "metric": "joern_ray_pipeline_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": os.path.basename(os.path.normpath(SF_DIR)),
+                "num_cpus": NUM_CPUS,
+                "triples_per_sec": round(build["triples_per_sec"], 1),
+                "graph_rows": build["rows"],
+                "n_docs": build["n_docs"],
+                "link_regime": build["link_regime"],
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def main_child(num_cpus: int) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    build = run_cpg_build(num_cpus)
+    print(json.dumps({"num_cpus": num_cpus, **{k: build[k] for k in ("sec", "rows", "triples_per_sec")}}))
+    ray.shutdown()
+
+
+def main_scaling() -> None:
+    """Fresh process per parallelism level (N=8, 4N=32)."""
+    results = {}
+    for n in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(n)],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=3600,
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+        results[n] = json.loads(line)
+    thr8 = results[8]["triples_per_sec"]
+    thr32 = results[32]["triples_per_sec"]
+    eff = (thr32 / thr8) / 4.0
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "n_cpus_low": 8,
+                "n_cpus_high": 32,
+                "throughput_low": round(thr8, 1),
+                "throughput_high": round(thr32, 1),
+                "sec_low": round(results[8]["sec"], 2),
+                "sec_high": round(results[32]["sec"], 2),
+                "rows": results[32]["rows"],
+                "sf": os.path.basename(os.path.normpath(SF_DIR)),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif "--child" in sys.argv:
+        main_child(int(sys.argv[sys.argv.index("--child") + 1]))
+    else:
+        main_bench()

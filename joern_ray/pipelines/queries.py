@@ -1,0 +1,534 @@
+"""Driver-facing query implementations (one per operator family in
+SURVEY.md §2 + the training-data operators).
+
+Each function takes `sf_dir` (a /root/testdata/sfX directory) and returns
+a Dataset / pyarrow Table.  SQL-checkable queries keep their column names
+aligned with `oracle_sql()` in `__ray_entry__.py` (the driver hash-compares
+values after sorting columns by name).
+
+The CPG queries run the flagship pipeline over the deterministic webtext
+corpus (sized per sf) with an on-disk checkpoint cache, so repeated
+queries at the same sf resume instantly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _collect(ds, schema: "pa.Schema | None" = None) -> pa.Table:
+    """Materialize a (small) result Dataset; empty-safe."""
+    parts = list(ds.iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return schema.empty_table() if schema is not None else pa.table({})
+    return pa.concat_tables(parts)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _docs_count_for(sf_dir: str) -> int:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000}.get(name, 300)
+
+
+# ---------------------------------------------------------------------------
+# CPG flagship (rows-only checks: parsing isn't SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def _cpg_paths(sf_dir: str) -> dict:
+    from ..pipelines.cpg import build_cpg
+    from ..sources.corpus import docs_dataset
+
+    n = _docs_count_for(sf_dir)
+    out = f"/tmp/joern_ray_cache/cpg_{n}"
+
+    def docs_factory(columns):
+        ds = docs_dataset(n, parallelism=max(4, n // 512))
+        if columns:
+            ds = ds.map_batches(lambda b: b.select(columns), batch_format="pyarrow")
+        return ds
+
+    return build_cpg(docs_factory, out, f"corpus-{n}-seed42")
+
+
+def cpg_node_counts(sf_dir: str) -> pa.Table:
+    """Node count per label over the full CPG — stable, deterministic."""
+    import ray.data
+
+    res = _cpg_paths(sf_dir)
+    ds = ray.data.read_parquet(res["nodes_path"], columns=["label"])
+    out = ds.groupby("label").count().sort("label")
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return t.rename_columns(["label", "n"])
+
+
+def cpg_edge_counts(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    res = _cpg_paths(sf_dir)
+    ds = ray.data.read_parquet(res["edges_path"], columns=["pred"])
+    out = ds.groupby("pred").count().sort("pred")
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return t.rename_columns(["pred", "n"])
+
+
+def cpg_method_table(sf_dir: str):
+    """METHOD rows (the queryable method table, `cpg.method` starter)."""
+    import ray.data
+
+    res = _cpg_paths(sf_dir)
+    ds = ray.data.read_parquet(
+        res["nodes_path"], columns=["id", "label", "name", "full_name", "url", "line"]
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("label"), "METHOD"))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+DANGEROUS = ("gets", "strcpy", "strcat", "sprintf", "malloc", "memcpy", "free", "system", "popen", "scanf")
+
+
+def scan_dangerous_calls(sf_dir: str) -> pa.Table:
+    """querydb-style scanner (reference `querydb/.../c/DangerousFunctions.
+    scala:13-52`: `cpg.method("(?i)gets").callIn`): CALL sites whose
+    callee name is on the dangerous list, counted per name."""
+    import ray.data
+
+    res = _cpg_paths(sf_dir)
+    ds = ray.data.read_parquet(res["nodes_path"], columns=["label", "name"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch.column("label"), "CALL"),
+            pc.is_in(batch.column("name"), value_set=pa.array(list(DANGEROUS))),
+        )
+        return batch.filter(m).select(["name"])
+
+    out = ds.map_batches(f, batch_format="pyarrow").groupby("name").count().sort("name")
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return t.rename_columns(["name", "n_findings"])
+
+
+def cpg_call_resolution(sf_dir: str) -> pa.Table:
+    """CALL-edge resolution stats: how many call sites resolved to a real
+    method vs a stub (left-join-with-logged-miss semantics,
+    `LinkingUtil.scala:123-137`)."""
+    import ray.data
+
+    res = _cpg_paths(sf_dir)
+    nodes = ray.data.read_parquet(res["nodes_path"], columns=["id", "label", "code"])
+
+    def stub_ids(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch.column("label"), "METHOD"),
+            pc.equal(batch.column("code"), "<empty>"),
+        )
+        return batch.filter(m).select(["id"])
+
+    stubs = set()
+    for b in nodes.map_batches(stub_ids, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        stubs.update(b.column("id").to_pylist())
+    edges = ray.data.read_parquet(res["edges_path"], columns=["pred", "obj"])
+    resolved = unresolved = 0
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        m = pc.equal(b.column("pred"), "CALL")
+        objs = b.filter(m).column("obj").to_pylist()
+        for o in objs:
+            if o in stubs:
+                unresolved += 1
+            else:
+                resolved += 1
+    return pa.table(
+        {
+            "kind": pa.array(["resolved", "stub"], pa.string()),
+            "n": pa.array([resolved, unresolved], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-checkable generic operators over the testdata tables
+# ---------------------------------------------------------------------------
+
+
+def lang_counts(sf_dir: str) -> pa.Table:
+    out = _read(sf_dir, "documents", ["lang"]).groupby("lang").count().sort("lang")
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return t.rename_columns(["lang", "n"])
+
+
+def exact_dedup_documents(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(ds, col="text", id_col="doc_id")
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return t.select(["doc_id", "n_dups"]).sort_by("doc_id")
+
+
+def token_count_ws(sf_dir: str) -> pa.Table:
+    from ..stages.textstats import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "n_tokens_ws"]),
+        batch_format="pyarrow",
+    )
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return t.sort_by("doc_id")
+
+
+def doc_length_filter(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(batch.column("text"))
+        b = batch.append_column("n_chars_text", pc.cast(n, pa.int64()))
+        return b.filter(pc.and_(pc.greater_equal(n, 100), pc.less_equal(n, 5000))).select(
+            ["doc_id", "n_chars_text"]
+        )
+
+    out = ds.map_batches(f, batch_format="pyarrow")
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return t.sort_by("doc_id")
+
+
+def top_users_by_events(sf_dir: str) -> pa.Table:
+    out = _read(sf_dir, "events", ["user_id"]).groupby("user_id").count()
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = t.rename_columns(["user_id", "n_events"])
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("n_events", "descending"), ("user_id", "ascending")]
+        )[:10]
+    )
+    return t
+
+
+def events_daily_counts(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        return pa.table({"day": day})
+
+    out = ds.map_batches(f, batch_format="pyarrow").groupby("day").count().sort("day")
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return t.rename_columns(["day", "n"])
+
+
+def pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1 shape: partial aggregation inside map_batches, then a tiny
+    groupby — the combiner pattern (sum of integral quantities only, for
+    float-free oracle parity)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        agg = df.group_by(["l_returnflag", "l_linestatus"]).agg(
+            pl.col("l_quantity").sum().alias("sq"), pl.len().alias("cnt")
+        )
+        return agg.to_arrow()
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sq", "cnt"])
+    )
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = pa.table(
+        {
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "sum_qty": pc.cast(t.column("sum(sq)"), pa.int64()),
+            "count_order": pc.cast(t.column("sum(cnt)"), pa.int64()),
+        }
+    )
+    return t.sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def customers_per_nation(sf_dir: str) -> pa.Table:
+    """Broadcast join: nation is tiny — dict lookup inside map_batches
+    instead of a shuffle join (the small-side-broadcast rule)."""
+    import ray
+
+    nation = pa.concat_tables(
+        list(_read(sf_dir, "nation", ["n_nationkey", "n_name"]).iter_batches(batch_format="pyarrow"))
+    )
+    lookup = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    ref = ray.put(lookup)
+
+    class Join:
+        def __init__(self, r) -> None:
+            self.lk = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("c_nationkey").to_pylist()
+            return pa.table({"nation": pa.array([self.lk.get(k, "?") for k in keys], pa.string())})
+
+    out = (
+        _read(sf_dir, "customer", ["c_nationkey"])
+        .map_batches(Join, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("nation")
+        .count()
+        .sort("nation")
+    )
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return t.rename_columns(["nation", "n_customers"])
+
+
+def distinct_part_types(sf_dir: str) -> pa.Table:
+    n = len(_read(sf_dir, "part", ["p_type"]).unique("p_type"))
+    return pa.table({"n_types": pa.array([n], pa.int64())})
+
+
+def orders_top_by_price(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(5)
+    return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+
+
+# ---------------------------------------------------------------------------
+# similarity / dedup / text ops
+# ---------------------------------------------------------------------------
+
+
+def _dim(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    return len(t.column("embedding")[0])
+
+
+def embedding_topk(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-10 vs vec_id=0, float64 for oracle parity."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import BruteForceScorer
+
+    q_t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    row0 = q_t.filter(pc.equal(q_t.column("vec_id"), 0))
+    q = np.asarray(row0.column("embedding").to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class Scorer(BruteForceScorer):
+        def __init__(self) -> None:
+            super().__init__(q, k=11, id_col="vec_id", vec_col="embedding")
+            self.q = self.q.astype(np.float64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id").to_pylist())
+            vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (self.q @ (vecs / norms).T)[0]
+            k = min(11, len(sims))
+            top = np.argpartition(-sims, kth=k - 1)[:k]
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids[top], pa.int64()),
+                    "cosine": pa.array(sims[top], pa.float64()),
+                }
+            )
+
+    local = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 4))
+    t = pa.concat_tables(list(local.iter_batches(batch_format="pyarrow")))
+    t = t.filter(pc.not_equal(t.column("vec_id"), 0))
+    t = t.take(pc.sort_indices(t, sort_keys=[("cosine", "descending"), ("vec_id", "ascending")])[:10])
+    return pa.table(
+        {
+            "vec_id": t.column("vec_id"),
+            "cosine": pc.round(t.column("cosine"), ndigits=4),
+        }
+    )
+
+
+def embedding_near_dup_exact(sf_dir: str) -> pa.Table:
+    """Exact all-pairs cosine ≥ 0.95 (single-bucket degenerate LSH) —
+    SQL-oracle-checkable at these scales."""
+    from ..stages.dedup import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_near_dup_pairs(
+        ds, dim=_dim(sf_dir), threshold=0.95, n_planes=0, concurrency=(1, 2)
+    )
+    empty = pa.schema([pa.field("id_a", pa.int64()), pa.field("id_b", pa.int64()), pa.field("cosine", pa.float64())])
+    t = _collect(out, empty)
+    if t.num_rows == 0:
+        return empty.empty_table()
+    t = t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+    return pa.table(
+        {
+            "id_a": t.column("id_a"),
+            "id_b": t.column("id_b"),
+            "cosine": pc.round(t.column("cosine"), ndigits=4),
+        }
+    )
+
+
+def embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
+    """LSH-bucketed near-dup (the scale path — approximate, rows-only)."""
+    from ..stages.dedup import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_near_dup_pairs(
+        ds, dim=_dim(sf_dir), threshold=0.95, n_planes=8, concurrency=(1, 4)
+    )
+    empty = pa.schema([pa.field("id_a", pa.int64()), pa.field("id_b", pa.int64()), pa.field("cosine", pa.float64())])
+    t = _collect(out, empty)
+    return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def embedding_ivf_topk(sf_dir: str) -> pa.Table:
+    """IVF ANN: coarse k-means cells, probe nearest cells only."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import ivf_topk
+
+    q_t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    row0 = q_t.filter(pc.equal(q_t.column("vec_id"), 0))
+    q = np.asarray(row0.column("embedding").to_pylist(), dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, q, k=10, n_cells=8, n_probe=3, concurrency=(1, 4))
+    return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+
+
+def _fragments_ds(sf_dir: str):
+    """Corpus docs -> detected code fragments with int64 ids (deduplicated
+    content travels; the near-dup fodder lives here, FIXTURES.md F9)."""
+    from ..sources.corpus import docs_dataset
+    from ..stages.extract import detect_fragments_batch
+
+    n = _docs_count_for(sf_dir)
+    ds = docs_dataset(n, parallelism=max(4, n // 512)).map_batches(
+        detect_fragments_batch, batch_format="pyarrow"
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("row_kind"), "fragment"))
+        ids = [
+            (int(u.rsplit("/", 1)[1]) << 4) | min(15, i)
+            for u, i in zip(b.column("url").to_pylist(), b.column("fragment_idx").to_pylist())
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": b.column("code")}
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def minhash_near_dups_corpus(sf_dir: str) -> pa.Table:
+    """MinHash LSH over corpus code fragments (engineered near-dups,
+    FIXTURES.md F9) — returns the duplicate pair list."""
+    from ..stages.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(
+        _fragments_ds(sf_dir),
+        threshold=0.8,
+        concurrency=(1, 4),
+    )
+    empty = pa.schema([pa.field("id_a", pa.int64()), pa.field("id_b", pa.int64()), pa.field("est_jaccard", pa.float64())])
+    t = _collect(out, empty)
+    return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def simhash_near_dups_corpus(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import simhash_near_dup_pairs
+
+    out = simhash_near_dup_pairs(_fragments_ds(sf_dir), max_hamming=3)
+    empty = pa.schema([pa.field("id_a", pa.int64()), pa.field("id_b", pa.int64()), pa.field("hamming", pa.int64())])
+    t = _collect(out, empty)
+    return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def lang_id_eval(sf_dir: str) -> pa.Table:
+    """Heuristic language-ID vs the stored lang label (rows-only)."""
+    from ..stages.textstats import lang_id_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = ds.map_batches(
+        lambda b: lang_id_batch(b).select(["lang", "lang_pred"]), batch_format="pyarrow"
+    )
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    import collections
+
+    c = collections.Counter(
+        zip(t.column("lang").to_pylist(), t.column("lang_pred").to_pylist())
+    )
+    rows = sorted(c.items())
+    return pa.table(
+        {
+            "lang": pa.array([k[0] for k, _ in rows], pa.string()),
+            "lang_pred": pa.array([k[1] for k, _ in rows], pa.string()),
+            "n": pa.array([v for _, v in rows], pa.int64()),
+        }
+    )
+
+
+def doc_fingerprints(sf_dir: str) -> pa.Table:
+    from ..stages.textstats import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: fingerprint_batch(b).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+    )
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return t.sort_by("doc_id")
+
+
+def quality_scores(sf_dir: str) -> pa.Table:
+    from ..stages.textstats import quality_score_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: quality_score_batch(b).select(
+            ["doc_id", "n_chars_q", "quality_ok"]
+        ),
+        batch_format="pyarrow",
+    )
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return t.sort_by("doc_id")
+
+
+def media_feature_stats(sf_dir: str) -> pa.Table:
+    """Multimodal plumbing: synthetic media corpus -> actor-pool feature
+    extraction (stubbed codec) -> per-type stats."""
+    import ray.data
+
+    from ..stages.multimodal import media_features, synth_media_table
+
+    n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(
+        os.path.basename(os.path.normpath(sf_dir)), 64
+    )
+    ds = ray.data.from_arrow(synth_media_table(n))
+    out = media_features(ds, decoder="fake", batch_size=32, concurrency=(1, 2))
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    import collections
+
+    c = collections.Counter(t.column("media_type").to_pylist())
+    rows = sorted(c.items())
+    return pa.table(
+        {
+            "media_type": pa.array([k for k, _ in rows], pa.string()),
+            "n": pa.array([v for _, v in rows], pa.int64()),
+            "feature_dim": pa.array([len(t.column("features")[0])] * len(rows), pa.int64()),
+        }
+    )

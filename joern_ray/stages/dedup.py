@@ -1,0 +1,378 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+These are first-class training-data-pipeline operators layered on the
+same shuffle machinery as the CPG linkers.  The reference's only dedup is
+exact key-collision handling (`FullNameUniquenessPass.scala:31-127`,
+first-wins `getOrElseUpdate` in `AstCreationPass.scala:38-40`); the
+near-dup family is the web-scale extension the north star names
+("min-hash dedup collapses equivalent entities").
+
+Scale shapes:
+- exact:   map (hash) → groupby(hash) → first-wins — one shuffle of
+           (hash, id) pairs only, never the payload.
+- minhash: map (shingle → K permutations → B bands) → flat-map band rows
+           → groupby(band, bucket) → per-group candidate pairs verified
+           by signature agreement.  Payload never shuffles; bands do.
+- simhash: map (64-bit signature) → band on 4×16-bit chunks → groupby —
+           exact-same-chunk candidates verified by Hamming distance.
+- embedding: random-hyperplane LSH buckets → exact cosine within bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_MAXHASH = np.uint64((1 << 61) - 1)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def add_content_hash(batch: pa.Table, col: str, out_col: str = "content_hash64") -> pa.Table:
+    """64-bit content hash of a string column (vectorized via polars)."""
+    import polars as pl
+
+    s = pl.from_arrow(batch.column(col)).cast(pl.Utf8).fill_null("")
+    h = s.hash(seed=0)
+    arr = pa.array(h.to_numpy() & np.uint64((1 << 63) - 1), pa.uint64())
+    return batch.append_column(out_col, arr)
+
+
+def exact_dedup(ds, col: str, id_col: str):
+    """Hash-partition + per-group first (deterministic min id): returns
+    Dataset of (id_col winner, n_dups) per distinct value of `col`."""
+
+    def h(batch: pa.Table) -> pa.Table:
+        b = add_content_hash(batch, col)
+        return b.select([id_col, "content_hash64"])
+
+    def first_wins(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        return pa.table(
+            {
+                id_col: pa.array([pc.min(ids).as_py()], ids.type),
+                "n_dups": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(h, batch_format="pyarrow")
+        .groupby("content_hash64")
+        .map_groups(first_wins, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text: str, k: int = 5) -> np.ndarray:
+    """Character k-shingle hashes (vectorized FNV-style mix)."""
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        t = t + " " * (k - len(t))
+    b = np.frombuffer(t.encode("utf-8", "replace"), dtype=np.uint8).astype(np.uint64)
+    n = len(b) - k + 1
+    if n <= 0:
+        return np.zeros(1, np.uint64)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n, np.uint64)
+        for i in range(k):
+            acc = acc * np.uint64(1099511628211) + b[i : i + n]
+    return np.unique(acc)
+
+
+class MinHasher:
+    """K-permutation minhash state (a*x+b mod p), built once per actor —
+    the stateful-stage pattern (parameters in __init__, per-batch work in
+    __call__)."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_perm: int = 128,
+        bands: int = 16,
+        shingle_k: int = 5,
+        seed: int = 7,
+    ) -> None:
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.text_col = text_col
+        self.id_col = id_col
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text, self.shingle_k)
+        with np.errstate(over="ignore"):
+            # (num_perm, n_shingles) via broadcasting; mod Mersenne prime
+            prod = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
+        return prod.min(axis=1).astype(np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """flat-map: one row per (doc, band) with the band bucket hash and
+        the full signature (carried for verification downstream)."""
+        texts = batch.column(self.text_col).to_pylist()
+        ids = batch.column(self.id_col).to_pylist()
+        out_id, out_band, out_bucket, out_sig = [], [], [], []
+        r = self.rows_per_band
+        with np.errstate(over="ignore"):
+            for did, t in zip(ids, texts):
+                sig = self.signature(t or "")
+                for band in range(self.bands):
+                    chunk = sig[band * r : (band + 1) * r]
+                    bucket = np.uint64(0)
+                    for v in chunk:  # tiny loop (r ~ 8)
+                        bucket = bucket * np.uint64(1000003) + v
+                    out_id.append(did)
+                    out_band.append(band)
+                    out_bucket.append(int(bucket & np.uint64((1 << 63) - 1)))
+                    out_sig.append(sig.tolist())
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id),
+                "band": pa.array(out_band, pa.int32()),
+                "bucket": pa.array(out_bucket, pa.uint64()),
+                "sig": pa.array(out_sig, pa.list_(pa.uint64())),
+            }
+        )
+
+
+def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=128, bands=16, threshold=0.7, concurrency=(1, 8)):
+    """Candidate near-dup pairs via banded minhash LSH, verified by
+    signature agreement (estimated Jaccard ≥ threshold).  Returns a
+    Dataset of (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
+    across bands by keeping each pair only in its first matching band."""
+
+    band_rows = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "text_col": text_col,
+            "id_col": id_col,
+            "num_perm": num_perm,
+            "bands": bands,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def pairs_in_bucket(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n < 2:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                    "band": pa.array([], pa.int32()),
+                }
+            )
+        ids = batch.column(id_col).to_pylist()
+        sigs = [np.asarray(s, dtype=np.uint64) for s in batch.column("sig").to_pylist()]
+        band = batch.column("band")[0].as_py()
+        a_out, b_out, j_out = [], [], []
+        order = np.argsort(ids)
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= threshold:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    j_out.append(est)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "est_jaccard": pa.array(j_out, pa.float64()),
+                "band": pa.array([band] * len(a_out), pa.int32()),
+            }
+        )
+
+    pairs = band_rows.groupby(["band", "bucket"]).map_groups(
+        pairs_in_bucket, batch_format="pyarrow"
+    )
+
+    # a pair can surface in several bands — keep the first (min band)
+    def first_band(batch: pa.Table) -> pa.Table:
+        i = pc.index(batch.column("band"), pc.min(batch.column("band")).as_py()).as_py()
+        return batch.take([i]).select(["id_a", "id_b", "est_jaccard"])
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(first_band, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verification / small-scale pairwise)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa, sb = set(_shingles(a, k).tolist()), set(_shingles(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str, k: int = 4) -> int:
+    """64-bit SimHash over word k=1 tokens (hash-weighted bit votes)."""
+    tokens = (text or "").lower().split()
+    if not tokens:
+        return 0
+    import polars as pl
+
+    h = pl.Series(tokens).hash(seed=1).to_numpy()
+    bits = ((h[:, None] >> np.arange(64)[None, :].astype(np.uint64)) & 1).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    return int(((votes > 0).astype(np.uint64) << np.arange(64).astype(np.uint64)).sum() & np.uint64((1 << 63) - 1))
+
+
+def simhash_batch(batch: pa.Table, text_col="text") -> pa.Table:
+    vals = [simhash64(t) for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("simhash", pa.array(vals, pa.uint64()))
+
+
+def simhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3):
+    """Near-dup pairs by SimHash banding: 4 chunks of 16 bits — any pair
+    within Hamming distance 3 shares at least one exact chunk (pigeonhole),
+    so groupby(chunk_idx, chunk_value) finds all candidates."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        b = simhash_batch(batch.select([id_col, text_col]), text_col)
+        ids = b.column(id_col).to_pylist()
+        sh = b.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_id, out_chunk, out_val, out_sim = [], [], [], []
+        for i, d in enumerate(ids):
+            for c in range(4):
+                out_id.append(d)
+                out_chunk.append(c)
+                out_val.append(int((sh[i] >> np.uint64(16 * c)) & np.uint64(0xFFFF)))
+                out_sim.append(int(sh[i]))
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "chunk": pa.array(out_chunk, pa.int32()),
+                "chunk_val": pa.array(out_val, pa.int64()),
+                "simhash": pa.array(out_sim, pa.uint64()),
+            }
+        )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        a_out, b_out, d_out = [], [], []
+        order = np.argsort(ids)
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if ids[i] == ids[j]:
+                    continue
+                d = int(bin(int(sh[i]) ^ int(sh[j])).count("1"))
+                if d <= max_hamming:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    d_out.append(d)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "hamming": pa.array(d_out, pa.int64()),
+            }
+        )
+
+    def dedup_pair(batch: pa.Table) -> pa.Table:
+        return batch.take([0])
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["chunk", "chunk_val"])
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .map_groups(dedup_pair, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (random-hyperplane LSH buckets)
+# ---------------------------------------------------------------------------
+
+
+class HyperplaneBucketer:
+    """Stateful stage: random hyperplanes drawn once per actor (fixed
+    seed) → sign-bit bucket per vector."""
+
+    def __init__(self, dim: int, n_planes: int = 12, vec_col: str = "embedding", seed: int = 11) -> None:
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(dim, n_planes)).astype(np.float32)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch.column(self.vec_col).to_pylist(), dtype=np.float32)
+        proj = vecs @ self.planes  # (n, planes) — one matmul per batch
+        bits = (proj > 0).astype(np.uint64)
+        bucket = np.zeros(len(vecs), np.uint64)
+        for p in range(bits.shape[1]):
+            bucket |= bits[:, p] << np.uint64(p)
+        norms = np.linalg.norm(vecs, axis=1)
+        return batch.append_column("bucket", pa.array(bucket, pa.uint64())).append_column(
+            "norm", pa.array(norms, pa.float64())
+        )
+
+
+def embedding_near_dup_pairs(ds, dim: int, id_col="vec_id", vec_col="embedding", threshold=0.95, n_planes=12, concurrency=(1, 8)):
+    """Cosine near-dup pairs: LSH bucket by hyperplane signs, exact cosine
+    within each bucket (payload shuffles only per-bucket)."""
+
+    bucketed = ds.map_batches(
+        HyperplaneBucketer,
+        fn_constructor_kwargs={"dim": dim, "vec_col": vec_col, "n_planes": n_planes},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if n < 2:
+            return empty
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        sims = unit @ unit.T
+        iu, ju = np.triu_indices(n, k=1)
+        mask = sims[iu, ju] >= threshold
+        ii, jj = iu[mask], ju[mask]
+        lo = np.minimum(ids[ii], ids[jj])
+        hi = np.maximum(ids[ii], ids[jj])
+        return pa.table(
+            {
+                "id_a": pa.array(lo, pa.int64()),
+                "id_b": pa.array(hi, pa.int64()),
+                "cosine": pa.array(sims[ii, jj].astype(np.float64)),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")

@@ -1,0 +1,199 @@
+"""t0/t1: training-data operators — dedup family, ANN, text stats,
+multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from joern_ray.stages.dedup import (
+    MinHasher,
+    ngram_jaccard,
+    simhash64,
+)
+from joern_ray.stages.multimodal import (
+    FakeDecoder,
+    MediaFeatureExtractor,
+    RealDecoder,
+    synth_media_table,
+)
+from joern_ray.stages.textstats import (
+    fingerprint_batch,
+    lang_id_batch,
+    quality_score_batch,
+    token_count_batch,
+)
+
+
+# ---- text stats -----------------------------------------------------------
+
+
+def test_token_counts():
+    t = pa.table({"text": ["a b  c", "", "one", "x,y z"]})
+    out = token_count_batch(t)
+    assert out.column("n_tokens_ws").to_pylist() == [3, 0, 1, 2]
+    assert out.column("n_tokens_bpe").to_pylist() == [3, 0, 1, 4]
+
+
+def test_quality_score():
+    good = "The quick brown fox jumps over the lazy dog and keeps running for a while."
+    bad = "!!! ??? ,,, ;;; ::: !!!"
+    out = quality_score_batch(pa.table({"text": [good, bad]}))
+    assert out.column("quality_ok").to_pylist() == [True, False]
+
+
+def test_lang_id_english():
+    t = pa.table({"text": ["the cat is on the mat and there is another one here"]})
+    assert lang_id_batch(t).column("lang_pred").to_pylist() == ["en"]
+
+
+def test_fingerprint_normalization():
+    t = pa.table({"text": ["Hello   World", "hello world", "hello worlds"]})
+    fp = fingerprint_batch(t).column("fingerprint").to_pylist()
+    assert fp[0] == fp[1]  # whitespace/case-insensitive
+    assert fp[1] != fp[2]
+
+
+# ---- dedup ----------------------------------------------------------------
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(num_perm=256, bands=32)
+    a = "int accumulate(int *val, int n) { int total = 0; for (int i = 0; i < n; i++) { total += val[i]; } return total; }"
+    b = a.replace("val", "value")
+    sig_a, sig_b = mh.signature(a), mh.signature(b)
+    est = float((sig_a == sig_b).mean())
+    true = ngram_jaccard(a, b)
+    assert abs(est - true) < 0.15
+    assert float((mh.signature(a) == mh.signature(a)).mean()) == 1.0
+
+
+def test_simhash_near_and_far():
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a.replace("dog", "cat")
+    c = "completely different words everywhere nothing shared at all zebra"
+    da = bin(simhash64(a) ^ simhash64(b)).count("1")
+    dc = bin(simhash64(a) ^ simhash64(c)).count("1")
+    assert da < dc
+    assert simhash64(a) == simhash64(a)
+
+
+def test_exact_dedup_groups(ray_session):
+    import ray.data
+
+    from joern_ray.stages.dedup import exact_dedup
+
+    t = pa.table({"doc_id": [5, 1, 2, 3], "text": ["x", "x", "y", "x"]})
+    out = exact_dedup(ray.data.from_arrow(t), col="text", id_col="doc_id")
+    got = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    pairs = sorted(zip(got.column("doc_id").to_pylist(), got.column("n_dups").to_pylist()))
+    assert pairs == [(1, 3), (2, 1)]  # min id wins, counts correct
+
+
+def test_minhash_lsh_finds_neardups(ray_session):
+    import ray.data
+
+    from joern_ray.stages.dedup import minhash_lsh_pairs
+
+    base = "int accumulate(int *val, int n) { int total = 0; for (int i = 0; i < n; i++) { total += val[i]; } return total; }"
+    texts = [base, base.replace("val", "value"), "void other() { return; }", base]
+    t = pa.table({"doc_id": [0, 1, 2, 3], "text": texts})
+    out = minhash_lsh_pairs(ray.data.from_arrow(t), threshold=0.7, concurrency=1)
+    got = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    pairs = set(zip(got.column("id_a").to_pylist(), got.column("id_b").to_pylist()))
+    assert (0, 3) in pairs  # exact dup
+    assert (0, 1) in pairs or (1, 3) in pairs  # near dup
+    assert not any(2 in p for p in pairs)
+
+
+def test_embedding_near_dup_pairs(ray_session):
+    import ray.data
+
+    from joern_ray.stages.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=8).astype(np.float32)
+    vecs = [base, base * 2.0, rng.normal(size=8).astype(np.float32)]
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    out = embedding_near_dup_pairs(ray.data.from_arrow(t), dim=8, threshold=0.99, n_planes=0, concurrency=1)
+    got = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    pairs = set(zip(got.column("id_a").to_pylist(), got.column("id_b").to_pylist()))
+    assert pairs == {(0, 1)}  # colinear vectors only
+
+
+# ---- ANN ------------------------------------------------------------------
+
+
+def test_brute_force_vs_ivf_recall(ray_session):
+    import ray.data
+
+    from joern_ray.stages.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(1)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    q = vecs[:2]
+    bf = brute_force_topk(ray.data.from_arrow(t), q, k=5, concurrency=1)
+    bf_t = pa.concat_tables(list(bf.iter_batches(batch_format="pyarrow")))
+    # the query vectors themselves must top their own lists
+    top = {
+        qid: set()
+        for qid in set(bf_t.column("query_id").to_pylist())
+    }
+    for qid, vid in zip(bf_t.column("query_id").to_pylist(), bf_t.column("vec_id").to_pylist()):
+        top[qid].add(vid)
+    assert 0 in top[0] and 1 in top[1]
+
+    ivf = ivf_topk(ray.data.from_arrow(t), q, k=5, n_cells=4, n_probe=2, concurrency=1)
+    ivf_t = pa.concat_tables(list(ivf.iter_batches(batch_format="pyarrow")))
+    ivf_top = {qid: set() for qid in set(ivf_t.column("query_id").to_pylist())}
+    for qid, vid in zip(ivf_t.column("query_id").to_pylist(), ivf_t.column("vec_id").to_pylist()):
+        ivf_top[qid].add(vid)
+    # IVF must at least find the identical vector (it's in a probed cell)
+    assert 0 in ivf_top.get(0, set()) and 1 in ivf_top.get(1, set())
+    # recall vs brute force ≥ 0.6 at n_probe=2/4 cells
+    rec = sum(len(ivf_top.get(k, set()) & v) for k, v in top.items()) / sum(len(v) for v in top.values())
+    assert rec >= 0.6
+
+
+# ---- multimodal -----------------------------------------------------------
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        RealDecoder()
+
+
+def test_fake_decoder_deterministic():
+    d = FakeDecoder()
+    f1, f2 = d.decode_features(b"abc"), d.decode_features(b"abc")
+    assert np.array_equal(f1, f2)
+    assert len(f1) == 64
+    assert d.thumbnail_size(1920, 1080) == (64, 36)
+
+
+def test_media_pipeline(ray_session):
+    import ray.data
+
+    from joern_ray.stages.multimodal import media_features
+
+    ds = ray.data.from_arrow(synth_media_table(48))
+    out = media_features(ds, batch_size=16, concurrency=1)
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    assert t.num_rows == 48
+    assert len(t.column("features")[0]) == 64
+    assert set(t.column("media_type").to_pylist()) <= {"image/png", "image/jpeg", "audio/wav"}
