@@ -49,11 +49,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": q.embedding_near_dup_lsh,
         "embedding_ivf_topk": q.embedding_ivf_topk,
         "minhash_near_dups_corpus": q.minhash_near_dups_corpus,
+        "minhash_dedup_corpus": q.minhash_dedup_corpus,
         "simhash_near_dups_corpus": q.simhash_near_dups_corpus,
         "lang_id_eval": q.lang_id_eval,
         "doc_fingerprints": q.doc_fingerprints,
         "quality_scores": q.quality_scores,
         "media_feature_stats": q.media_feature_stats,
+        # dataflow + export
+        "dataflow_malloc_to_free": q.dataflow_malloc_to_free,
+        "export_dot_methods": q.export_dot_methods,
     }
 
 

@@ -82,7 +82,7 @@ def run_operator_queries() -> dict:
         "pricing_summary",
         "customers_per_nation",
         "embedding_topk",
-        "minhash_near_dups_corpus",
+        "minhash_dedup_corpus",
         "quality_scores",
     ]
     out = {}

@@ -89,6 +89,10 @@ class PNode:
     condition_child: "PNode | None" = None
     receiver_child: "PNode | None" = None
     ref_target: "PNode | None" = None  # e.g. IDENTIFIER -> LOCAL
+    # generic typed edges to other nodes in the same fragment tree
+    # (PARAMETER_LINK, BINDS, ... — reference `MethodDecoratorPass.scala:
+    # 14-62` PARAMETER_LINK; BINDS via BINDING simplified to direct edge)
+    extra_edges: list[tuple[str, "PNode"]] = field(default_factory=list)
     # filled by flatten():
     order: int = 0
     argument_index: int = -1
@@ -192,6 +196,11 @@ def flatten(
             edges.append(
                 {"subj": n.id, "pred": "REF", "obj": n.ref_target.id, "variable": None}
             )
+        for pred, tgt in n.extra_edges:
+            if tgt.id:
+                edges.append(
+                    {"subj": n.id, "pred": pred, "obj": tgt.id, "variable": None}
+                )
         for c in n.children:
             emit_refs(c)
 

@@ -336,6 +336,10 @@ class FragmentParser:
                 member = self._parse_java_member(name)
                 if member is not None:
                     td.add(member)
+                    if member.label == "METHOD":
+                        # simplified BINDS (reference routes via BINDING
+                        # nodes; we emit the direct TYPE_DECL->METHOD edge)
+                        td.extra_edges.append(("BINDS", member))
             except ParseError:
                 self._sync(start, td)
             if self.i == start:
@@ -427,6 +431,20 @@ class FragmentParser:
         )
         self.node_count += 1
         m.add(ret)
+        # METHOD_PARAMETER_OUT twin + PARAMETER_LINK per parameter-in
+        # (reference `MethodDecoratorPass.scala:14-62`)
+        for p in [c for c in m.children if c.label == "METHOD_PARAMETER_IN"]:
+            out = PNode(
+                "METHOD_PARAMETER_OUT",
+                name=p.name,
+                code=p.code,
+                type_full_name=p.type_full_name,
+                line=p.line,
+                col=p.col,
+            )
+            self.node_count += 1
+            m.add(out)
+            p.extra_edges.append(("PARAMETER_LINK", out))
         if self.lambda_stack and self.lambda_stack[-1]:
             for lam in self.lambda_stack[-1]:
                 m.add(lam)

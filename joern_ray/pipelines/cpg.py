@@ -5,17 +5,25 @@ frontend AST creation → default overlays → linking → persist) as a
 Ray-Data stage chain with Parquet checkpoints between the macro-stages:
 
   stage "parse"   docs → detect_fragments → ParseFragments (actor pool,
-                  fused per-method CFG/DDG overlays) → tagged-union
-                  checkpoint.  Pure map chain — streams, no shuffle.
-  stage "link"    canonicalize colliding FQNs (shuffle ONLY rows whose
-                  full_name is actually duplicated — dup survey first),
-                  method index → broadcast or salted-shuffle call link,
-                  map-side TYPE/FILE/NAMESPACE linking, stub synthesis.
+                  fused per-method CFG/DDG overlays + FILE nodes from
+                  doc passthrough rows) → tagged-union checkpoint.
+                  Pure map chain — streams, no shuffle.
+  stage "survey"  ONE pass over the node stream emitting tagged partial
+                  distincts/counts (dup FQNs, type fqns, namespace
+                  names, call fqns) → one small groupby — replaces four
+                  separate scans (combiner pattern, reference
+                  accumulator merge `AstCreationPass.scala:27-72`).
+  stage "link"    canonicalize colliding FQNs (shuffle ONLY duplicated
+                  names), method index → broadcast or salted-shuffle
+                  call link, map-side TYPE/FILE/NAMESPACE linking,
+                  stubs derived from the survey (no extra pass).
   stage "write"   final nodes/edges, hash-partitioned with per-partition
                   manifests (resume = skip finished partitions).
 
-Checkpoints make each macro-stage resumable (reference overlay skip,
-`LayerCreator.scala:20-34`) and let multiple downstream branches consume
+Five Dataset executions total at steady state — execution-launch
+overhead dominates small runs, so the count is a first-class design
+constraint.  Checkpoints make macro-stages resumable (reference overlay
+skip, `LayerCreator.scala:20-34`) and let downstream branches consume
 Parquet instead of re-executing Ray lineage.
 """
 
@@ -27,21 +35,18 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..io.checkpoint import checkpoint, manifest_matches, partitioned_write
-from ..schemas import EDGES_SCHEMA, NODES_SCHEMA, REJECTS_SCHEMA
+from ..schemas import EDGES_SCHEMA, NODES_SCHEMA, REJECTS_SCHEMA, rows_to_table
 from ..stages.extract import detect_fragments_batch
 from ..stages.link import (
     CallLinker,
     canonicalize_group,
-    file_nodes_batch,
-    key_count_survey,
     mapside_link_edges,
-    method_index_table,
-    namespace_dimension,
+    namespace_id,
     salted_call_link,
-    type_dimension,
-    unresolved_stub_dimension,
+    stub_id,
+    type_id,
 )
-from ..stages.parse import ParseFragments, UNION_SCHEMA
+from ..stages.parse import ParseFragments
 
 _KEEP = {
     "node": list(NODES_SCHEMA.names),
@@ -72,17 +77,90 @@ class KeySetSplit:
         import ray
 
         keys = ray.get(keys_ref) if not isinstance(keys_ref, (set, frozenset)) else keys_ref
-        self.keys = frozenset(keys)
+        self.keys = pa.array(list(keys), pa.string())
         self.column = column
         self.invert = invert
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(
-            batch.column(self.column), value_set=pa.array(list(self.keys), pa.string())
-        ) if self.keys else pa.array([False] * batch.num_rows)
+        if len(self.keys) == 0:
+            return batch if self.invert else batch.slice(0, 0)
+        mask = pc.is_in(batch.column(self.column), value_set=self.keys)
         if self.invert:
             mask = pc.invert(mask)
         return batch.filter(mask)
+
+
+def _survey(nodes_ds) -> dict:
+    """ONE execution: per-batch tagged partial counts/distincts →
+    groupby(kind,key).sum → driver dicts.
+
+    kinds: 'm' METHOD full_names (count), 'td' TYPE_DECL full_names
+    (count), 'ty' type fqns (exploded; distinct), 'ns' namespace names
+    (distinct), 'ca' CALL/METHOD_REF method_full_names (distinct)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks, keys, cs = [], [], []
+        labels = batch.column("label")
+        for kind, lab, col in (("m", "METHOD", "full_name"), ("td", "TYPE_DECL", "full_name")):
+            sub = batch.filter(pc.equal(labels, lab)).column(col)
+            vc = sub.value_counts()
+            for i in range(len(vc)):
+                v = vc.field("values")[i].as_py()
+                if v:
+                    ks.append(kind)
+                    keys.append(v)
+                    cs.append(vc.field("counts")[i].as_py())
+        tfn = batch.column("type_full_name")
+        mask = pc.and_(tfn.is_valid(), pc.not_equal(tfn, ""))
+        tvals: set = set()
+        is_td = pc.equal(labels, "TYPE_DECL")
+        for v, td in zip(
+            batch.filter(mask).column("type_full_name").to_pylist(),
+            batch.filter(mask).column("label").to_pylist(),
+        ):
+            if td == "TYPE_DECL":
+                tvals.update(p for p in v.split(";") if p)
+            else:
+                tvals.add(v)
+        for v in tvals:
+            ks.append("ty")
+            keys.append(v)
+            cs.append(1)
+        for v in set(
+            batch.filter(pc.equal(labels, "NAMESPACE_BLOCK")).column("name").to_pylist()
+        ):
+            if v:
+                ks.append("ns")
+                keys.append(v)
+                cs.append(1)
+        calls = batch.filter(
+            pc.is_in(labels, value_set=pa.array(["CALL", "METHOD_REF"]))
+        ).column("method_full_name")
+        for v in set(calls.to_pylist()):
+            if v:
+                ks.append("ca")
+                keys.append(v)
+                cs.append(1)
+        return pa.table(
+            {
+                "kind": pa.array(ks, pa.string()),
+                "key": pa.array(keys, pa.string()),
+                "c": pa.array(cs, pa.int64()),
+            }
+        )
+
+    agg = nodes_ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["kind", "key"]
+    ).sum("c")
+    out: dict[str, dict[str, int]] = {"m": {}, "td": {}, "ty": {}, "ns": {}, "ca": {}}
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        for k, key, c in zip(
+            b.column("kind").to_pylist(),
+            b.column("key").to_pylist(),
+            b.column("sum(c)").to_pylist(),
+        ):
+            out[k][key] = c
+    return out
 
 
 def build_cpg(
@@ -91,7 +169,7 @@ def build_cpg(
     fingerprint: str,
     *,
     parse_concurrency: int | tuple = (1, 16),
-    batch_size: int = 256,
+    batch_size: int = 128,
     broadcast_limit: int = 2_000_000,
     hot_key_threshold: int = 5_000,
     n_salts: int = 16,
@@ -101,10 +179,7 @@ def build_cpg(
     """Run the full pipeline; returns paths + row counts.
 
     `docs_factory(columns)` must return a fresh docs Dataset (optionally
-    column-pruned) — a factory because Ray Datasets re-execute lineage
-    per consumer, and the docs table is read twice (full for parse,
-    url-only for FILE nodes).
-    """
+    column-pruned); it is consumed exactly once (by the parse stage)."""
     import ray
     import ray.data
 
@@ -132,12 +207,21 @@ def build_cpg(
             "out_dir": out_dir,
             "nodes_path": nodes_path,
             "edges_path": edges_path,
+            "parse_path": parse_path,
             "resumed": True,
         }
 
-    # ---- stage: link --------------------------------------------------
     nodes = lambda: read_union_split(parse_path, "node")  # noqa: E731
 
+    # ---- stage: survey (one pass) -------------------------------------
+    sv = _survey(nodes())
+    dup_fqns = frozenset(
+        k for d in (sv["m"], sv["td"]) for k, c in d.items() if c >= 2
+    )
+    n_methods = len(sv["m"])
+    use_broadcast = (not force_shuffle_link) and n_methods <= broadcast_limit
+
+    # ---- stage: link --------------------------------------------------
     def mt_proj():
         def _f(batch: pa.Table) -> pa.Table:
             m = pc.is_in(batch.column("label"), value_set=pa.array(["METHOD", "TYPE_DECL"]))
@@ -152,16 +236,7 @@ def build_cpg(
 
         return nodes().map_batches(_f, batch_format="pyarrow")
 
-    # canonicalization: shuffle only colliding FQNs (FullNameUniqueness
-    # analog; dup survey keeps the shuffle tiny).
-    dup_fqns = key_count_survey(
-        mt_proj().map_batches(
-            lambda b: b.select(["full_name"]), batch_format="pyarrow"
-        ),
-        "full_name",
-        threshold=2,
-    )
-    dup_ref = ray.put(frozenset(dup_fqns))
+    dup_ref = ray.put(dup_fqns)
     mt_unique = mt_proj().map_batches(
         KeySetSplit,
         fn_constructor_args=(dup_ref, "full_name", True),
@@ -184,24 +259,41 @@ def build_cpg(
     else:
         canonical_mt = mt_unique
 
-    # canonical method/typedecl rows are needed by several consumers —
-    # checkpoint them once.
-    canon_path = os.path.join(out_dir, "canonical_mt")
-    checkpoint(lambda: canonical_mt, canon_path, "canonical_mt", parse_fp)
-    canonical_mt_ds = lambda: ray.data.read_parquet(canon_path)  # noqa: E731
-
-    # method index: broadcast vs shuffle regime
-    n_methods = (
-        canonical_mt_ds()
-        .map_batches(
-            lambda b: pa.table(
-                {"n": [int(pc.sum(pc.equal(b.column("label"), "METHOD")).as_py() or 0)]}
-            ),
-            batch_format="pyarrow",
+    link_regime = "broadcast" if use_broadcast else "salted_shuffle"
+    if use_broadcast:
+        # collect canonical METHOD/TYPE_DECL rows once: feeds the method
+        # index, stub derivation AND the final node write (no checkpoint)
+        parts = list(canonical_mt.iter_batches(batch_format="pyarrow"))
+        canon_t = pa.concat_tables(parts) if parts else NODES_SCHEMA.empty_table()
+        m_mask = pc.equal(canon_t.column("label"), "METHOD")
+        methods_t = canon_t.filter(m_mask)
+        # first-wins per fqn (deterministic: sort by (fqn, id))
+        methods_t = methods_t.take(
+            pc.sort_indices(methods_t, sort_keys=[("full_name", "ascending"), ("id", "ascending")])
         )
-        .sum("n")
-    )
-    use_broadcast = (not force_shuffle_link) and n_methods <= broadcast_limit
+        import numpy as np
+
+        fns = methods_t.column("full_name").to_numpy(zero_copy_only=False)
+        keepm = np.ones(len(fns), dtype=bool)
+        if len(fns):
+            keepm[1:] = fns[1:] != fns[:-1]
+        index_table = methods_t.filter(pa.array(keepm)).select(["full_name", "id"])
+        index_ref = ray.put(index_table)
+        known = set(index_table.column("full_name").to_pylist())
+        canonical_mt_for_write = ray.data.from_arrow(canon_t) if canon_t.num_rows else None
+        salted = None
+    else:
+        canon_path = os.path.join(out_dir, "canonical_mt")
+        checkpoint(lambda: canonical_mt, canon_path, "canonical_mt", parse_fp)
+        canonical_mt_for_write = ray.data.read_parquet(canon_path)
+        known = set(sv["m"].keys())
+        index_ref = None
+        salted = lambda facts: salted_call_link(  # noqa: E731
+            facts,
+            ray.data.read_parquet(canon_path),
+            hot_keys={k for k, c in sv["ca"].items() if c >= hot_key_threshold},
+            n_salts=n_salts,
+        )
 
     def calls_proj():
         def _f(batch: pa.Table) -> pa.Table:
@@ -210,10 +302,7 @@ def build_cpg(
 
         return nodes().map_batches(_f, batch_format="pyarrow")
 
-    index_table = method_index_table(canonical_mt_ds()) if use_broadcast else None
-
     if use_broadcast:
-        index_ref = ray.put(index_table)
         link_edges = calls_proj().map_batches(
             CallLinker,
             fn_constructor_args=(index_ref,),
@@ -222,49 +311,62 @@ def build_cpg(
             concurrency=(1, 8),
         )
     else:
-        hot = key_count_survey(
-            calls_proj().map_batches(
-                lambda b: b.select(["method_full_name"]), batch_format="pyarrow"
-            ),
-            "method_full_name",
-            threshold=hot_key_threshold,
-        )
-        link_edges = salted_call_link(
-            calls_proj(), canonical_mt_ds(), hot_keys=hot, n_salts=n_salts
-        )
+        link_edges = salted(calls_proj())
 
-    # map-side dimension links (EVAL_TYPE / SOURCE_FILE / NAMESPACE REF)
-    # over the final node stream (others + canonical MT)
-    def all_nodes():
-        return other_proj().union(canonical_mt_ds())
-
-    mapside_edges = all_nodes().map_batches(
-        mapside_link_edges, batch_format="pyarrow"
-    )
-
-    # dimensions (small driver tables) + stubs
-    types_t = type_dimension(all_nodes())
-    ns_t = namespace_dimension(all_nodes())
-    if use_broadcast:
-        stub_known = index_table
-    else:
-        stub_known = method_index_table(canonical_mt_ds())
-    stubs_t = unresolved_stub_dimension(calls_proj(), stub_known)
-    dims_list = [t for t in (types_t, ns_t, stubs_t) if t.num_rows]
-    dims_ds = (
-        ray.data.from_arrow(dims_list)
-        if dims_list
-        else ray.data.from_arrow(NODES_SCHEMA.empty_table())
-    )
-    file_nodes = docs_factory(["url"]).map_batches(
-        file_nodes_batch, batch_format="pyarrow"
-    )
+    # dimensions + stubs — derived from the survey, zero extra passes
+    stub_fqns = sorted(set(sv["ca"].keys()) - known)
+    dim_rows: list[dict] = [
+        {
+            "id": type_id(f),
+            "label": "TYPE",
+            "name": f,
+            "full_name": f,
+            "order": 0,
+            "argument_index": -1,
+            "line": -1,
+            "col": -1,
+        }
+        for f in sorted(sv["ty"].keys())
+    ] + [
+        {
+            "id": namespace_id(n),
+            "label": "NAMESPACE",
+            "name": n,
+            "full_name": n,
+            "order": 0,
+            "argument_index": -1,
+            "line": -1,
+            "col": -1,
+        }
+        for n in sorted(sv["ns"].keys())
+    ] + [
+        {
+            "id": stub_id(f),
+            "label": "METHOD",
+            "name": f.rsplit(".", 1)[-1] if not f.startswith("<operator>") else f,
+            "full_name": f,
+            "signature": "",
+            "code": "<empty>",
+            "order": 0,
+            "argument_index": -1,
+            "line": -1,
+            "col": -1,
+            "lang": "",
+        }
+        for f in stub_fqns
+    ]
+    dims_ds = ray.data.from_arrow(rows_to_table(dim_rows, NODES_SCHEMA))
 
     # ---- stage: write (partitioned, per-partition manifests) ----------
-    final_nodes = all_nodes().union(dims_ds, file_nodes)
-    final_edges = read_union_split(parse_path, "edge").union(
-        link_edges, mapside_edges
-    )
+    def all_nodes():
+        base = other_proj()
+        if canonical_mt_for_write is not None:
+            base = base.union(canonical_mt_for_write)
+        return base
+
+    mapside_edges = all_nodes().map_batches(mapside_link_edges, batch_format="pyarrow")
+    final_nodes = all_nodes().union(dims_ds)
+    final_edges = read_union_split(parse_path, "edge").union(link_edges, mapside_edges)
     partitioned_write(final_nodes, nodes_path, "nodes", parse_fp, num_partitions)
     partitioned_write(final_edges, edges_path, "edges", parse_fp, num_partitions)
     return {
@@ -272,7 +374,8 @@ def build_cpg(
         "nodes_path": nodes_path,
         "edges_path": edges_path,
         "parse_path": parse_path,
-        "link_regime": "broadcast" if use_broadcast else "salted_shuffle",
-        "n_methods": int(n_methods),
+        "link_regime": link_regime,
+        "n_methods": n_methods,
+        "n_stubs": len(stub_fqns),
         "resumed": False,
     }

@@ -532,3 +532,97 @@ def media_feature_stats(sf_dir: str) -> pa.Table:
             "feature_dim": pa.array([len(t.column("features")[0])] * len(rows), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# dataflow queries + exporters
+# ---------------------------------------------------------------------------
+
+
+def dataflow_malloc_to_free(sf_dir: str) -> pa.Table:
+    """reachableBy demo (use-after-free shape, FIXTURES.md F3): flows
+    from malloc-assignments into `free` call arguments via REACHING_DEF,
+    bounded depth 4 (reference Engine maxCallDepth)."""
+    import ray.data
+
+    from ..graph.dataflow import taint_flows
+
+    res = _cpg_paths(sf_dir)
+    nodes_f = lambda: ray.data.read_parquet(  # noqa: E731
+        res["nodes_path"], columns=["id", "label", "name", "code"]
+    )
+    edges_f = lambda: ray.data.read_parquet(  # noqa: E731
+        res["edges_path"], columns=["subj", "pred", "obj"]
+    )
+    # sink: the argument identifiers of free(...) calls — obj of ARGUMENT
+    # edges whose subj is a CALL named free
+    free_ids = set()
+    for b in nodes_f().iter_batches(batch_format="pyarrow"):
+        m = pc.and_(pc.equal(b.column("label"), "CALL"), pc.equal(b.column("name"), "free"))
+        free_ids.update(b.filter(m).column("id").to_pylist())
+    arg_ids = set()
+    for b in edges_f().iter_batches(batch_format="pyarrow"):
+        m = pc.equal(b.column("pred"), "ARGUMENT")
+        bb = b.filter(m)
+        for s, o in zip(bb.column("subj").to_pylist(), bb.column("obj").to_pylist()):
+            if s in free_ids:
+                arg_ids.add(o)
+
+    def sink_pred(batch: pa.Table):
+        return pc.is_in(batch.column("id"), value_set=pa.array(list(arg_ids) or [0], pa.uint64()))
+
+    def source_pred(batch: pa.Table):
+        code = batch.column("code")
+        return pc.and_(
+            pc.equal(batch.column("label"), "CALL"),
+            pc.match_substring(pc.coalesce(code, pa.scalar("")), "malloc("),
+        )
+
+    flows = taint_flows(nodes_f, edges_f, source_pred, sink_pred)
+    return pa.table(
+        {
+            "n_flows": pa.array([flows.num_rows], pa.int64()),
+            "n_sinks": pa.array([len(arg_ids)], pa.int64()),
+        }
+    )
+
+
+def export_dot_methods(sf_dir: str) -> pa.Table:
+    """Per-method AST DOT export (reference JoernExport repr=ast) —
+    returns export counts + a determinism witness hash."""
+    from ..io.export import export_dot
+    from ..sources.corpus import docs_dataset
+
+    n = min(_docs_count_for(sf_dir), 300)
+    ds = export_dot(docs_dataset(n, parallelism=4), concurrency=(1, 4))
+    t = _collect(ds)
+    import hashlib
+
+    digest = hashlib.blake2b(
+        "\n".join(sorted(t.column("dot").to_pylist())).encode(), digest_size=8
+    ).hexdigest()
+    return pa.table(
+        {
+            "n_methods": pa.array([t.num_rows], pa.int64()),
+            "dot_digest": pa.array([digest], pa.string()),
+        }
+    )
+
+
+def minhash_dedup_corpus(sf_dir: str) -> pa.Table:
+    """Scalable near-dup collapse over corpus fragments: cluster mapping
+    stats (no pair explosion — the 100TB-safe dedup path)."""
+    from ..stages.dedup import minhash_dedup
+
+    out = minhash_dedup(_fragments_ds(sf_dir), concurrency=(1, 8))
+    empty = pa.schema([pa.field("doc_id", pa.int64()), pa.field("canonical_id", pa.int64())])
+    t = _collect(out, empty)
+    n = t.num_rows
+    n_clusters = len(set(t.column("canonical_id").to_pylist()))
+    return pa.table(
+        {
+            "n_fragments": pa.array([n], pa.int64()),
+            "n_clusters": pa.array([n_clusters], pa.int64()),
+            "n_collapsed": pa.array([n - n_clusters], pa.int64()),
+        }
+    )

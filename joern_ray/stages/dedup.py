@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _MAXHASH = np.uint64((1 << 61) - 1)
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -168,35 +169,51 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=128, bands=
     )
 
     def pairs_in_bucket(batch: pa.Table) -> pa.Table:
+        """Vectorized all-pairs signature agreement, capped per bucket.
+
+        Boilerplate-heavy web corpora create near-clique buckets; an
+        uncapped pair list is O(n²) per bucket and explodes (observed:
+        a 30k-doc bench wedged here before the cap).  Buckets larger
+        than `max_bucket` are deterministically sampled (sorted by id,
+        evenly strided) and the truncation is recorded on every emitted
+        row — no silent cap.  For full-corpus dedup use
+        `minhash_dedup` (cluster mapping, O(n) per bucket) instead.
+        """
+        max_bucket = 256
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+                "band": pa.array([], pa.int32()),
+                "bucket_truncated": pa.array([], pa.bool_()),
+            }
+        )
         n = batch.num_rows
         if n < 2:
-            return pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "est_jaccard": pa.array([], pa.float64()),
-                    "band": pa.array([], pa.int32()),
-                }
-            )
-        ids = batch.column(id_col).to_pylist()
-        sigs = [np.asarray(s, dtype=np.uint64) for s in batch.column("sig").to_pylist()]
-        band = batch.column("band")[0].as_py()
-        a_out, b_out, j_out = [], [], []
+            return empty
+        ids = np.asarray(batch.column(id_col).to_pylist())
         order = np.argsort(ids)
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    j_out.append(est)
+        truncated = n > max_bucket
+        if truncated:
+            order = order[:: max(1, n // max_bucket)][:max_bucket]
+        ids_s = ids[order]
+        sig_m = np.asarray(
+            [batch.column("sig")[int(i)].as_py() for i in order], dtype=np.uint64
+        )  # (m, K)
+        band = batch.column("band")[0].as_py()
+        # est jaccard matrix in one broadcast: (m, m)
+        est = (sig_m[:, None, :] == sig_m[None, :, :]).mean(axis=2)
+        iu, ju = np.triu_indices(len(ids_s), k=1)
+        mask = est[iu, ju] >= threshold
+        ii, jj = iu[mask], ju[mask]
         return pa.table(
             {
-                "id_a": pa.array(a_out, pa.int64()),
-                "id_b": pa.array(b_out, pa.int64()),
-                "est_jaccard": pa.array(j_out, pa.float64()),
-                "band": pa.array([band] * len(a_out), pa.int32()),
+                "id_a": pa.array(ids_s[ii], pa.int64()),
+                "id_b": pa.array(ids_s[jj], pa.int64()),
+                "est_jaccard": pa.array(est[ii, jj], pa.float64()),
+                "band": pa.array([band] * len(ii), pa.int32()),
+                "bucket_truncated": pa.array([truncated] * len(ii), pa.bool_()),
             }
         )
 
@@ -210,6 +227,57 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=128, bands=
         return batch.take([i]).select(["id_a", "id_b", "est_jaccard"])
 
     return pairs.groupby(["id_a", "id_b"]).map_groups(first_band, batch_format="pyarrow")
+
+
+def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perm=128, bands=16, concurrency=(1, 8)):
+    """Scalable near-dup COLLAPSE: (id -> canonical_id) cluster mapping.
+
+    Per (band, bucket) group emit (member, min-id-of-bucket) — O(group),
+    no pair explosion — then a second groupby(member) takes the global
+    min across bands.  One union-find hop; documents transitively linked
+    only through longer chains keep separate canonicals (bounded-round
+    choice, same spirit as the reference's fixed-iteration type recovery,
+    `XTypeRecovery.scala:143-145`)."""
+
+    band_rows = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "text_col": text_col,
+            "id_col": id_col,
+            "num_perm": num_perm,
+            "bands": bands,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).map_batches(
+        lambda b: b.select([id_col, "band", "bucket"]), batch_format="pyarrow"
+    )
+
+    def bucket_min(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        lo = pc.min(ids).as_py()
+        return pa.table(
+            {
+                id_col: ids,
+                "cand": pa.array([lo] * batch.num_rows, ids.type),
+            }
+        )
+
+    members = band_rows.groupby(["band", "bucket"]).map_groups(
+        bucket_min, batch_format="pyarrow"
+    )
+
+    def global_min(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col).slice(0, 1),
+                "canonical_id": pa.array(
+                    [pc.min(batch.column("cand")).as_py()], batch.column("cand").type
+                ),
+            }
+        )
+
+    return members.groupby(id_col).map_groups(global_min, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -273,25 +341,36 @@ def simhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3):
         )
 
     def pairs(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
+        """Vectorized XOR-popcount pairs, capped per chunk group (see
+        minhash pairs for the boilerplate-clique rationale)."""
+        max_bucket = 256
+        ids = np.asarray(batch.column(id_col).to_pylist())
         sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        a_out, b_out, d_out = [], [], []
         order = np.argsort(ids)
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if ids[i] == ids[j]:
-                    continue
-                d = int(bin(int(sh[i]) ^ int(sh[j])).count("1"))
-                if d <= max_hamming:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    d_out.append(d)
+        if len(order) > max_bucket:
+            order = order[:: max(1, len(order) // max_bucket)][:max_bucket]
+        ids_s, sh_s = ids[order], sh[order]
+        m = len(ids_s)
+        if m < 2:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        x = sh_s[:, None] ^ sh_s[None, :]  # (m, m) uint64
+        # popcount via byte view + unpackbits-free table
+        b = x.view(np.uint8).reshape(m, m, 8)
+        ham = _POPCNT[b].sum(axis=2).astype(np.int64)
+        iu, ju = np.triu_indices(m, k=1)
+        keep = (ham[iu, ju] <= max_hamming) & (ids_s[iu] != ids_s[ju])
+        ii, jj = iu[keep], ju[keep]
         return pa.table(
             {
-                "id_a": pa.array(a_out, pa.int64()),
-                "id_b": pa.array(b_out, pa.int64()),
-                "hamming": pa.array(d_out, pa.int64()),
+                "id_a": pa.array(np.minimum(ids_s[ii], ids_s[jj]), pa.int64()),
+                "id_b": pa.array(np.maximum(ids_s[ii], ids_s[jj]), pa.int64()),
+                "hamming": pa.array(ham[ii, jj], pa.int64()),
             }
         )
 

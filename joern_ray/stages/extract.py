@@ -160,12 +160,15 @@ def detect_fragments_in_html(url: str, html: bytes):
 
 
 def detect_fragments_batch(batch: pa.Table) -> pa.Table:
-    """flat_map-style: docs batch -> fragments table (tagged with rejects).
+    """flat_map-style: docs batch -> fragments table (tagged with rejects
+    and one `doc` passthrough row per input url).
 
-    Output unions fragment rows and reject rows in ONE table with a
-    `row_kind` discriminator so a single map_batches emits both streams;
-    a cheap downstream filter splits them (Ray Data has single-output
-    operators only).
+    Output unions fragment rows, reject rows and doc rows in ONE table
+    with a `row_kind` discriminator so a single map_batches emits all
+    streams; a cheap downstream filter splits them (Ray Data has
+    single-output operators only).  The `doc` rows let the parse stage
+    emit FILE nodes without a second pass over the docs table (each url
+    is seen exactly once here).
     """
     urls = batch.column("url").to_pylist()
     htmls = batch.column("html").to_pylist()
@@ -176,19 +179,40 @@ def detect_fragments_batch(batch: pa.Table) -> pa.Table:
         frag_rows.extend(f)
         rej_rows.extend(r)
     frag_t = rows_to_table(frag_rows, FRAGMENTS_SCHEMA)
-    kind = pa.array(["fragment"] * len(frag_rows) + ["reject"] * len(rej_rows))
     rej_t = rows_to_table(rej_rows, REJECTS_SCHEMA)
+    n_f, n_r, n_d = len(frag_rows), len(rej_rows), len(urls)
+    kind = pa.array(
+        ["fragment"] * n_f + ["reject"] * n_r + ["doc"] * n_d, pa.string()
+    )
     # union into one wide table: fragments cols + reject cols + row_kind
-    n_f, n_r = len(frag_rows), len(rej_rows)
     cols: dict[str, pa.Array] = {}
     for name in FRAGMENTS_SCHEMA.names:
         typ = FRAGMENTS_SCHEMA.field(name).type
-        pad = pa.nulls(n_r, typ)
-        cols[name] = pa.concat_arrays([frag_t.column(name).combine_chunks(), pad])
+        if name == "url":
+            cols[name] = pa.concat_arrays(
+                [
+                    frag_t.column(name).combine_chunks(),
+                    rej_t.column(name).combine_chunks(),
+                    pa.array(urls, typ),
+                ]
+            )
+        elif name == "fragment_idx":
+            cols[name] = pa.concat_arrays(
+                [
+                    frag_t.column(name).combine_chunks(),
+                    rej_t.column(name).combine_chunks(),
+                    pa.nulls(n_d, typ),
+                ]
+            )
+        else:
+            cols[name] = pa.concat_arrays(
+                [frag_t.column(name).combine_chunks(), pa.nulls(n_r + n_d, typ)]
+            )
     for name in ("stage", "reason"):
         typ = REJECTS_SCHEMA.field(name).type
-        pad = pa.nulls(n_f, typ)
-        cols[name] = pa.concat_arrays([pad, rej_t.column(name).combine_chunks()])
+        cols[name] = pa.concat_arrays(
+            [pa.nulls(n_f, typ), rej_t.column(name).combine_chunks(), pa.nulls(n_d, typ)]
+        )
     cols["row_kind"] = kind
     return pa.table(cols)
 

@@ -61,7 +61,13 @@ def stub_id(fqn: str) -> int:
 
 
 def mapside_link_edges(batch: pa.Table) -> pa.Table:
-    """nodes batch -> edges batch of EVAL_TYPE + SOURCE_FILE + NS REF."""
+    """nodes batch -> edges batch of EVAL_TYPE + SOURCE_FILE + NS REF +
+    INHERITS_FROM.
+
+    TYPE_DECL rows carry their inherits list ;-joined in type_full_name
+    (parser convention); it explodes here into one INHERITS_FROM edge per
+    base type (reference `TypeHierarchyPass.scala:12-33` explodes the
+    multi-valued inheritsFromTypeFullName the same way)."""
     labels = batch.column("label").to_pylist()
     ids = batch.column("id").to_pylist()
     tfns = batch.column("type_full_name").to_pylist()
@@ -70,9 +76,21 @@ def mapside_link_edges(batch: pa.Table) -> pa.Table:
     rows: list[dict] = []
     for lab, nid, tfn, url, name in zip(labels, ids, tfns, urls, names):
         if tfn:
-            rows.append(
-                {"subj": nid, "pred": "EVAL_TYPE", "obj": type_id(tfn), "variable": None}
-            )
+            if lab == "TYPE_DECL":
+                for base in tfn.split(";"):
+                    if base:
+                        rows.append(
+                            {
+                                "subj": nid,
+                                "pred": "INHERITS_FROM",
+                                "obj": type_id(base),
+                                "variable": None,
+                            }
+                        )
+            else:
+                rows.append(
+                    {"subj": nid, "pred": "EVAL_TYPE", "obj": type_id(tfn), "variable": None}
+                )
         if lab in _FILE_LINKED and url:
             rows.append(
                 {"subj": nid, "pred": "SOURCE_FILE", "obj": file_id(url), "variable": None}
@@ -92,14 +110,18 @@ def type_dimension(nodes_ds) -> "pa.Table":
     def project(batch: pa.Table) -> pa.Table:
         col = batch.column("type_full_name")
         mask = pc.and_(col.is_valid(), pc.not_equal(col, ""))
-        # pre-distinct inside the batch: shrinks the shuffle-free unique
-        vals = pc.unique(batch.filter(mask).column("type_full_name"))
-        return pa.table({"type_full_name": vals})
+        # pre-distinct inside the batch: shrinks the shuffle-free unique;
+        # TYPE_DECL inherits lists are ;-joined — explode them (reference
+        # TypeNodePass unions typeDecl names ∪ inheritsFrom names)
+        vals = set()
+        for v in pc.unique(batch.filter(mask).column("type_full_name")).to_pylist():
+            vals.update(p for p in v.split(";") if p)
+        return pa.table({"type_full_name": pa.array(sorted(vals), pa.string())})
 
     uniq = nodes_ds.map_batches(project, batch_format="pyarrow").unique(
         "type_full_name"
     )
-    fqns = sorted(uniq)
+    fqns = sorted(uniq or [])
     return rows_to_table(
         [
             {
@@ -151,7 +173,7 @@ def namespace_dimension(nodes_ds) -> "pa.Table":
         m = pc.equal(batch.column("label"), "NAMESPACE_BLOCK")
         return pa.table({"name": pc.unique(batch.filter(m).column("name"))})
 
-    names = sorted(n for n in nodes_ds.map_batches(project, batch_format="pyarrow").unique("name") if n)
+    names = sorted(n for n in (nodes_ds.map_batches(project, batch_format="pyarrow").unique("name") or []) if n)
     return rows_to_table(
         [
             {
@@ -298,8 +320,11 @@ def unresolved_stub_dimension(calls_ds, index_table: pa.Table) -> pa.Table:
 
     fqns = sorted(
         f
-        for f in calls_ds.map_batches(project, batch_format="pyarrow").unique(
-            "method_full_name"
+        for f in (
+            calls_ds.map_batches(project, batch_format="pyarrow").unique(
+                "method_full_name"
+            )
+            or []
         )
         if f and f not in known
     )

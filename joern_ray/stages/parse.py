@@ -133,10 +133,15 @@ class ParseFragments:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # Accept detect_fragments' tagged union directly: upstream reject
-        # rows pass through unchanged; only fragment rows get parsed.
+        # rows pass through unchanged; `doc` rows become FILE nodes (one
+        # per url — FileCreationPass analog with zero extra passes);
+        # fragment rows get parsed.
         passthrough_rejects: list[dict] = []
+        file_rows: list[dict] = []
         if "row_kind" in batch.column_names:
             import pyarrow.compute as pc
+
+            from ..stages.link import file_id
 
             rej = batch.filter(pc.equal(batch.column("row_kind"), "reject"))
             passthrough_rejects = [
@@ -153,13 +158,28 @@ class ParseFragments:
                     rej.column("reason").to_pylist(),
                 )
             ]
+            docs = batch.filter(pc.equal(batch.column("row_kind"), "doc"))
+            file_rows = [
+                {
+                    "id": file_id(u),
+                    "label": "FILE",
+                    "name": u,
+                    "full_name": u,
+                    "url": u,
+                    "order": 0,
+                    "argument_index": -1,
+                    "line": -1,
+                    "col": -1,
+                }
+                for u in docs.column("url").to_pylist()
+            ]
             batch = batch.filter(pc.equal(batch.column("row_kind"), "fragment"))
         urls = batch.column("url").to_pylist()
         idxs = batch.column("fragment_idx").to_pylist()
         langs = batch.column("frag_lang").to_pylist()
         codes = batch.column("code").to_pylist()
         hashes = batch.column("content_hash").to_pylist()
-        node_rows: list[dict] = []
+        node_rows: list[dict] = file_rows
         edge_rows: list[dict] = []
         reject_rows: list[dict] = passthrough_rejects
         for url, idx, lang, code, chash in zip(urls, idxs, langs, codes, hashes):

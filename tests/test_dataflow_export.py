@@ -1,0 +1,211 @@
+"""t1: dataflow reachability (reachableBy analog), slicing, exporters."""
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+OUT = "/tmp/joern_ray_test_dataflow"
+
+UAF_DOC = (
+    '<html><body><pre><code class="language-c">'
+    "int uaf(void) {\n"
+    "  char *x = malloc(8);\n"
+    "  free(x);\n"
+    "  return x[0];\n"
+    "}\n"
+    "</code></pre></body></html>"
+)
+
+
+@pytest.fixture(scope="module")
+def uaf_cpg(ray_session):
+    import ray.data
+
+    from joern_ray.pipelines.cpg import build_cpg
+
+    shutil.rmtree(OUT, ignore_errors=True)
+
+    def docs_factory(columns):
+        t = pa.table(
+            {
+                "url": ["https://uaf/1"],
+                "warc_ts": pa.array([0], pa.timestamp("us")),
+                "html": pa.array([UAF_DOC.encode()], pa.large_binary()),
+                "text": [""],
+                "lang": ["en"],
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        if columns:
+            ds = ds.map_batches(lambda b: b.select(columns), batch_format="pyarrow")
+        return ds
+
+    return build_cpg(docs_factory, OUT, "uaf-1", num_partitions=2, parse_concurrency=1)
+
+
+def test_taint_flow_malloc_to_free(ray_session, uaf_cpg):
+    import ray.data
+
+    from joern_ray.graph.dataflow import taint_flows
+
+    nodes_f = lambda: ray.data.read_parquet(  # noqa: E731
+        uaf_cpg["nodes_path"], columns=["id", "label", "name", "code"]
+    )
+    edges_f = lambda: ray.data.read_parquet(  # noqa: E731
+        uaf_cpg["edges_path"], columns=["subj", "pred", "obj"]
+    )
+
+    # sinks: identifiers used as free() arguments
+    nodes = pa.concat_tables(list(nodes_f().iter_batches(batch_format="pyarrow")))
+    edges = pa.concat_tables(list(edges_f().iter_batches(batch_format="pyarrow")))
+    free_ids = set(
+        nodes.filter(
+            pc.and_(pc.equal(nodes.column("label"), "CALL"), pc.equal(nodes.column("name"), "free"))
+        ).column("id").to_pylist()
+    )
+    assert free_ids
+    args = edges.filter(pc.equal(edges.column("pred"), "ARGUMENT"))
+    sink_ids = {
+        o for s, o in zip(args.column("subj").to_pylist(), args.column("obj").to_pylist()) if s in free_ids
+    }
+    assert sink_ids
+
+    def sink_pred(batch):
+        return pc.is_in(batch.column("id"), value_set=pa.array(list(sink_ids), pa.uint64()))
+
+    def source_pred(batch):
+        return pc.and_(
+            pc.equal(batch.column("label"), "CALL"),
+            pc.match_substring(pc.coalesce(batch.column("code"), pa.scalar("")), "malloc("),
+        )
+
+    flows = taint_flows(nodes_f, edges_f, source_pred, sink_pred)
+    assert flows.num_rows >= 1  # x = malloc(8) reaches free(x)'s argument
+
+
+def test_backward_slice_contains_criterion(ray_session, uaf_cpg):
+    import ray.data
+
+    from joern_ray.graph.dataflow import backward_slice
+
+    edges_f = lambda: ray.data.read_parquet(  # noqa: E731
+        uaf_cpg["edges_path"], columns=["subj", "pred", "obj"]
+    )
+    nodes = pa.concat_tables(
+        list(
+            ray.data.read_parquet(uaf_cpg["nodes_path"], columns=["id", "label", "code"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    ret = nodes.filter(pc.equal(nodes.column("label"), "RETURN"))
+    crit = {ret.column("id")[0].as_py()}
+    sl = backward_slice(edges_f, crit, max_depth=3)
+    assert crit <= sl and len(sl) > 1
+
+
+def test_dot_exporter(ray_session):
+    import ray.data
+
+    from joern_ray.io.export import export_dot
+
+    t = pa.table({"url": ["https://d/1"], "html": [UAF_DOC.encode()]})
+    out = export_dot(ray.data.from_arrow(t), concurrency=1)
+    got = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    assert got.num_rows == 1
+    dot = got.column("dot")[0].as_py()
+    assert dot.startswith('digraph "uaf"') and "METHOD" in dot and "->" in dot
+
+
+def test_neo4j_csv_export(ray_session, uaf_cpg):
+    import ray.data
+
+    from joern_ray.io.export import export_neo4j_csv
+
+    out_dir = os.path.join(OUT, "neo4j")
+    res = export_neo4j_csv(
+        ray.data.read_parquet(uaf_cpg["nodes_path"]),
+        ray.data.read_parquet(uaf_cpg["edges_path"]),
+        out_dir,
+    )
+    node_files = os.listdir(res["nodes"])
+    assert node_files
+    head = open(os.path.join(res["nodes"], node_files[0])).readline()
+    assert ":ID" in head and ":LABEL" in head
+
+
+def test_graphml_and_sarif(ray_session, uaf_cpg):
+    import ray.data
+
+    from joern_ray.io.export import export_graphml, export_sarif
+
+    nodes = pa.concat_tables(
+        list(ray.data.read_parquet(uaf_cpg["nodes_path"]).iter_batches(batch_format="pyarrow"))
+    )
+    edges = pa.concat_tables(
+        list(ray.data.read_parquet(uaf_cpg["edges_path"]).iter_batches(batch_format="pyarrow"))
+    )
+    gpath = export_graphml(nodes, edges, os.path.join(OUT, "g.graphml"))
+    content = open(gpath).read()
+    assert "<graphml" in content and "<node id=" in content
+
+    findings = pa.table(
+        {
+            "name": ["free"],
+            "url": ["https://uaf/1"],
+            "line": pa.array([3], pa.int32()),
+            "message": ["use after free"],
+        }
+    )
+    spath = export_sarif(findings, os.path.join(OUT, "findings.sarif"))
+    doc = json.load(open(spath))
+    assert doc["version"] == "2.1.0"
+    assert doc["runs"][0]["results"][0]["ruleId"] == "free"
+
+
+def test_inherits_from_edges(ray_session):
+    """Java extends -> INHERITS_FROM edge to the TYPE dimension node."""
+    import ray.data
+
+    from joern_ray.pipelines.cpg import build_cpg
+    from joern_ray.stages.link import type_id
+
+    doc = (
+        '<html><body><pre><code class="language-java">'
+        "public class Child extends Base {\n  public int f() { return 1; }\n}\n"
+        "</code></pre></body></html>"
+    )
+    out = "/tmp/joern_ray_test_inherits"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def docs_factory(columns):
+        t = pa.table(
+            {
+                "url": ["https://j/1"],
+                "warc_ts": pa.array([0], pa.timestamp("us")),
+                "html": pa.array([doc.encode()], pa.large_binary()),
+                "text": [""],
+                "lang": ["en"],
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        if columns:
+            ds = ds.map_batches(lambda b: b.select(columns), batch_format="pyarrow")
+        return ds
+
+    res = build_cpg(docs_factory, out, "j-1", num_partitions=2, parse_concurrency=1)
+    edges = pa.concat_tables(
+        list(ray.data.read_parquet(res["edges_path"]).iter_batches(batch_format="pyarrow"))
+    )
+    inh = edges.filter(pc.equal(edges.column("pred"), "INHERITS_FROM"))
+    assert inh.num_rows == 1
+    assert inh.column("obj")[0].as_py() == type_id("Base")
+    nodes = pa.concat_tables(
+        list(ray.data.read_parquet(res["nodes_path"]).iter_batches(batch_format="pyarrow"))
+    )
+    types = nodes.filter(pc.equal(nodes.column("label"), "TYPE"))
+    assert "Base" in types.column("full_name").to_pylist()

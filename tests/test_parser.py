@@ -48,13 +48,39 @@ def test_f1_ast_edges_and_order():
     add_m = _by(nodes, label="METHOD", name="add")[0]
     kids = [e["obj"] for e in edges if e["pred"] == "AST" and e["subj"] == add_m["id"]]
     kid_nodes = sorted((n["order"], n["label"]) for n in nodes if n["id"] in kids)
-    # params 1,2 then block then method_return (reference order derivation)
+    # params 1,2 then block then method_return, then parameter-out twins
+    # (MethodDecorator analog)
     assert kid_nodes == [
         (1, "METHOD_PARAMETER_IN"),
         (2, "METHOD_PARAMETER_IN"),
         (3, "BLOCK"),
         (4, "METHOD_RETURN"),
+        (5, "METHOD_PARAMETER_OUT"),
+        (6, "METHOD_PARAMETER_OUT"),
     ]
+
+
+def test_parameter_link_edges():
+    nodes, edges = parse_rows(F1)
+    byid = {n["id"]: n for n in nodes}
+    links = [
+        (byid[e["subj"]]["label"], byid[e["obj"]]["label"])
+        for e in edges
+        if e["pred"] == "PARAMETER_LINK"
+    ]
+    assert links and all(l == ("METHOD_PARAMETER_IN", "METHOD_PARAMETER_OUT") for l in links)
+
+
+def test_binds_edges_java():
+    src = "public class A { public int f() { return 1; } }"
+    nodes, edges = parse_rows(src, "java")
+    byid = {n["id"]: n for n in nodes}
+    binds = [
+        (byid[e["subj"]]["name"], byid[e["obj"]]["name"])
+        for e in edges
+        if e["pred"] == "BINDS"
+    ]
+    assert ("A", "f") in binds
 
 
 def test_operator_vocabulary():

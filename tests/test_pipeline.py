@@ -170,4 +170,7 @@ def test_rejects_surface_in_parse_output(ray_session):
     batch = pa.table({"url": ["https://bad/1"], "html": [bad]})
     out = ParseFragments()(detect_fragments_batch(batch))
     kinds = collections.Counter(out.column("row_kind").to_pylist())
-    assert kinds["reject"] == 1 and kinds.get("node", 0) == 0
+    assert kinds["reject"] == 1
+    # only the FILE node from the doc passthrough — nothing parsed
+    nodes = out.filter(pc.equal(out.column("row_kind"), "node"))
+    assert nodes.column("label").to_pylist() == ["FILE"]
