@@ -33,23 +33,36 @@ def _docs_count() -> int:
     return {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000}.get(name, 30000)
 
 
+def _corpus_path(n: int) -> str:
+    """Pre-written deterministic corpus parquet (untimed setup, shared
+    across bench runs and the scaling children — 'same input')."""
+    import ray.data
+
+    from joern_ray.sources.corpus import docs_dataset
+
+    path = os.path.join(BENCH_OUT, f"corpus_{n}")
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        docs_dataset(n, parallelism=max(8, n // 256)).write_parquet(path)
+        open(marker, "w").write("ok")
+    return path
+
+
 def run_cpg_build(num_cpus: int) -> dict:
-    """Cold CPG build (cache wiped) — the headline.  Returns seconds and
-    output row counts."""
+    """Cold CPG build (cache wiped) over Parquet input — the headline.
+    Returns seconds and output row counts."""
     import ray.data
 
     from joern_ray.pipelines.cpg import build_cpg
-    from joern_ray.sources.corpus import docs_dataset
 
     n = _docs_count()
+    corpus = _corpus_path(n)
     out = os.path.join(BENCH_OUT, f"cpg_{n}_{num_cpus}")
     shutil.rmtree(out, ignore_errors=True)
 
     def docs_factory(columns):
-        ds = docs_dataset(n, parallelism=max(8, n // 256))
-        if columns:
-            ds = ds.map_batches(lambda b: b.select(columns), batch_format="pyarrow")
-        return ds
+        return ray.data.read_parquet(corpus, columns=columns)
 
     t0 = time.perf_counter()
     res = build_cpg(

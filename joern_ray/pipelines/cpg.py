@@ -101,34 +101,33 @@ def _survey(nodes_ds) -> dict:
     def partial(batch: pa.Table) -> pa.Table:
         ks, keys, cs = [], [], []
         labels = batch.column("label")
-        for kind, lab, col in (("m", "METHOD", "full_name"), ("td", "TYPE_DECL", "full_name")):
-            sub = batch.filter(pc.equal(labels, lab)).column(col)
-            vc = sub.value_counts()
-            for i in range(len(vc)):
-                v = vc.field("values")[i].as_py()
+        for kind, lab in (("m", "METHOD"), ("td", "TYPE_DECL")):
+            vc = batch.filter(pc.equal(labels, lab)).column("full_name").value_counts()
+            vals = vc.field("values").to_pylist()
+            cnts = vc.field("counts").to_pylist()
+            for v, c in zip(vals, cnts):
                 if v:
                     ks.append(kind)
                     keys.append(v)
-                    cs.append(vc.field("counts")[i].as_py())
-        tfn = batch.column("type_full_name")
-        mask = pc.and_(tfn.is_valid(), pc.not_equal(tfn, ""))
-        tvals: set = set()
-        is_td = pc.equal(labels, "TYPE_DECL")
-        for v, td in zip(
-            batch.filter(mask).column("type_full_name").to_pylist(),
-            batch.filter(mask).column("label").to_pylist(),
-        ):
-            if td == "TYPE_DECL":
-                tvals.update(p for p in v.split(";") if p)
-            else:
-                tvals.add(v)
+                    cs.append(c)
+        # distinct type fqns: unique over the filtered column (vectorized),
+        # then a tiny loop over uniques only for the ;-explode
+        tfn = pc.coalesce(batch.column("type_full_name"), pa.scalar(""))
+        nonempty = batch.filter(pc.not_equal(tfn, ""))
+        td_mask = pc.equal(nonempty.column("label"), "TYPE_DECL")
+        tvals: set = set(
+            pc.unique(nonempty.filter(pc.invert(td_mask)).column("type_full_name")).to_pylist()
+        )
+        for v in pc.unique(nonempty.filter(td_mask).column("type_full_name")).to_pylist():
+            tvals.update(p for p in v.split(";") if p)
         for v in tvals:
-            ks.append("ty")
-            keys.append(v)
-            cs.append(1)
-        for v in set(
-            batch.filter(pc.equal(labels, "NAMESPACE_BLOCK")).column("name").to_pylist()
-        ):
+            if v:
+                ks.append("ty")
+                keys.append(v)
+                cs.append(1)
+        for v in pc.unique(
+            batch.filter(pc.equal(labels, "NAMESPACE_BLOCK")).column("name")
+        ).to_pylist():
             if v:
                 ks.append("ns")
                 keys.append(v)
@@ -136,7 +135,7 @@ def _survey(nodes_ds) -> dict:
         calls = batch.filter(
             pc.is_in(labels, value_set=pa.array(["CALL", "METHOD_REF"]))
         ).column("method_full_name")
-        for v in set(calls.to_pylist()):
+        for v in pc.unique(calls).to_pylist():
             if v:
                 ks.append("ca")
                 keys.append(v)
@@ -236,35 +235,19 @@ def build_cpg(
 
         return nodes().map_batches(_f, batch_format="pyarrow")
 
-    dup_ref = ray.put(dup_fqns)
-    mt_unique = mt_proj().map_batches(
-        KeySetSplit,
-        fn_constructor_args=(dup_ref, "full_name", True),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
-    if dup_fqns:
-        mt_dups = (
-            mt_proj()
-            .map_batches(
-                KeySetSplit,
-                fn_constructor_args=(dup_ref, "full_name", False),
-                batch_format="pyarrow",
-                concurrency=(1, 8),
-            )
-            .groupby("full_name")
-            .map_groups(canonicalize_group, batch_format="pyarrow")
-        )
-        canonical_mt = mt_unique.union(mt_dups)
-    else:
-        canonical_mt = mt_unique
-
     link_regime = "broadcast" if use_broadcast else "salted_shuffle"
     if use_broadcast:
-        # collect canonical METHOD/TYPE_DECL rows once: feeds the method
-        # index, stub derivation AND the final node write (no checkpoint)
-        parts = list(canonical_mt.iter_batches(batch_format="pyarrow"))
-        canon_t = pa.concat_tables(parts) if parts else NODES_SCHEMA.empty_table()
+        # collect METHOD/TYPE_DECL rows ONCE and canonicalize in memory —
+        # one scan, no shuffle; feeds the method index, stub derivation
+        # AND the final node write (no checkpoint)
+        from ..stages.link import canonicalize_table
+
+        parts = list(mt_proj().iter_batches(batch_format="pyarrow"))
+        canon_t = (
+            canonicalize_table(pa.concat_tables(parts))
+            if parts
+            else NODES_SCHEMA.empty_table()
+        )
         m_mask = pc.equal(canon_t.column("label"), "METHOD")
         methods_t = canon_t.filter(m_mask)
         # first-wins per fqn (deterministic: sort by (fqn, id))
@@ -283,6 +266,30 @@ def build_cpg(
         canonical_mt_for_write = ray.data.from_arrow(canon_t) if canon_t.num_rows else None
         salted = None
     else:
+        # distributed canonicalization: shuffle ONLY rows whose full_name
+        # actually collides (dup survey keeps the Sort input tiny)
+        dup_ref = ray.put(dup_fqns)
+        mt_unique = mt_proj().map_batches(
+            KeySetSplit,
+            fn_constructor_args=(dup_ref, "full_name", True),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        if dup_fqns:
+            mt_dups = (
+                mt_proj()
+                .map_batches(
+                    KeySetSplit,
+                    fn_constructor_args=(dup_ref, "full_name", False),
+                    batch_format="pyarrow",
+                    concurrency=(1, 8),
+                )
+                .groupby("full_name")
+                .map_groups(canonicalize_group, batch_format="pyarrow")
+            )
+            canonical_mt = mt_unique.union(mt_dups)
+        else:
+            canonical_mt = mt_unique
         canon_path = os.path.join(out_dir, "canonical_mt")
         checkpoint(lambda: canonical_mt, canon_path, "canonical_mt", parse_fp)
         canonical_mt_for_write = ray.data.read_parquet(canon_path)

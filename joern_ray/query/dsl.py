@@ -1,0 +1,247 @@
+"""Traversal query DSL over the materialized CPG tables.
+
+Re-expresses the reference's query surface (SURVEY.md §2.10 —
+node-type starters `cpg.method`, `cpg.call`, …; property filters
+`name(regex)`, `nameExact`; AST navigation `astChildren`/`astParent`;
+call-graph steps `callIn`/`callee`; dataflow `reachableBy`;
+materializers `.l`, `.toJson` — `semanticcpg/.../language/
+NodeTypeStarters.scala:15-91`, `AstNodeTraversal.scala:14-211`,
+`callgraphextension/{CallTraversal,MethodTraversal}.scala`,
+`Steps.scala:23-113`) as lazy Ray-Data pipelines over the node/edge
+Parquet.
+
+A step chain stays a Dataset until materialized; expansions along edges
+(`_expand`) run as broadcast-id-set filters over the edge table — the
+same bounded pattern as the dataflow frontier.  Suited to selective
+queries (the scanner corpus shape: regex-match a few thousand nodes,
+hop 1-3 edges); full-graph analytics belong in the pipeline stages.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_NODE_COLS = ["id", "label", "name", "full_name", "code", "url", "line", "method_full_name", "dispatch_type"]
+
+
+class NodeSteps:
+    """A lazy set of nodes (Dataset) + the graph it belongs to."""
+
+    def __init__(self, cpg: "Cpg", ds) -> None:
+        self.cpg = cpg
+        self.ds = ds
+
+    # ---- property filters (reference `name(...)`/`nameExact` etc.) ----
+
+    def _filter(self, fn) -> "NodeSteps":
+        return NodeSteps(self.cpg, self.ds.map_batches(fn, batch_format="pyarrow"))
+
+    def name(self, regex: str) -> "NodeSteps":
+        return self._filter(
+            lambda b: b.filter(pc.match_substring_regex(pc.coalesce(b.column("name"), pa.scalar("")), regex))
+        )
+
+    def name_exact(self, value: str) -> "NodeSteps":
+        return self._filter(lambda b: b.filter(pc.equal(pc.coalesce(b.column("name"), pa.scalar("")), value)))
+
+    def full_name(self, regex: str) -> "NodeSteps":
+        return self._filter(
+            lambda b: b.filter(pc.match_substring_regex(pc.coalesce(b.column("full_name"), pa.scalar("")), regex))
+        )
+
+    def code(self, regex: str) -> "NodeSteps":
+        return self._filter(
+            lambda b: b.filter(pc.match_substring_regex(pc.coalesce(b.column("code"), pa.scalar("")), regex))
+        )
+
+    def where_label(self, *labels: str) -> "NodeSteps":
+        ls = pa.array(list(labels))
+        return self._filter(lambda b: b.filter(pc.is_in(b.column("label"), value_set=ls)))
+
+    # ---- graph expansion ---------------------------------------------
+
+    def _ids(self) -> set[int]:
+        out: set[int] = set()
+        for b in self.ds.iter_batches(batch_format="pyarrow"):
+            out.update(b.column("id").to_pylist())
+        return out
+
+    def _expand(self, preds: tuple[str, ...], direction: str) -> "NodeSteps":
+        """One hop along `preds`; direction 'out' follows subj->obj,
+        'in' follows obj->subj.  Broadcast-id-set filter over edges,
+        then an id-set filter over nodes (two streamed scans)."""
+        import ray
+
+        ids = self._ids()
+        if not ids:
+            return NodeSteps(self.cpg, self.ds)
+        ids_ref = ray.put(frozenset(ids))
+        src_col, dst_col = ("subj", "obj") if direction == "out" else ("obj", "subj")
+
+        class EdgeHop:
+            def __init__(self, ref, preds_) -> None:
+                self.ids = pa.array(list(ray.get(ref)), pa.uint64())
+                self.preds = pa.array(list(preds_), pa.string())
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                m = pc.and_(
+                    pc.is_in(batch.column("pred"), value_set=self.preds),
+                    pc.is_in(batch.column(src_col), value_set=self.ids),
+                )
+                return pa.table({"id": batch.filter(m).column(dst_col)})
+
+        hop = self.cpg.edges_ds().map_batches(
+            EdgeHop, fn_constructor_args=(ids_ref, preds), batch_format="pyarrow", concurrency=(1, 4)
+        )
+        target_ids: set[int] = set()
+        for b in hop.iter_batches(batch_format="pyarrow"):
+            target_ids.update(b.column("id").to_pylist())
+        tref = ray.put(frozenset(target_ids))
+
+        class NodePick:
+            def __init__(self, ref) -> None:
+                self.ids = pa.array(list(ray.get(ref)), pa.uint64())
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                return batch.filter(pc.is_in(batch.column("id"), value_set=self.ids))
+
+        picked = self.cpg.nodes_ds().map_batches(
+            NodePick, fn_constructor_args=(tref,), batch_format="pyarrow", concurrency=(1, 4)
+        )
+        return NodeSteps(self.cpg, picked)
+
+    # AST navigation (reference AstNodeTraversal)
+    def ast_children(self) -> "NodeSteps":
+        return self._expand(("AST",), "out")
+
+    def ast_parent(self) -> "NodeSteps":
+        return self._expand(("AST",), "in")
+
+    def contains(self) -> "NodeSteps":
+        return self._expand(("CONTAINS",), "out")
+
+    def argument(self) -> "NodeSteps":
+        return self._expand(("ARGUMENT",), "out")
+
+    # call-graph extension (reference CallTraversal/MethodTraversal)
+    def callee(self) -> "NodeSteps":
+        """CALL -> METHOD resolved by the CALL edge."""
+        return self._expand(("CALL",), "out")
+
+    def call_in(self) -> "NodeSteps":
+        """METHOD -> call sites (incoming CALL edges)."""
+        return self._expand(("CALL",), "in")
+
+    def ref(self) -> "NodeSteps":
+        return self._expand(("REF",), "out")
+
+    # dataflow extension (reference ExtendedCfgNode.reachableBy)
+    def reachable_by(self, sources: "NodeSteps", max_depth: int = 4) -> "NodeSteps":
+        from ..graph.dataflow import reachable_by as _rb
+
+        sinks = self._ids()
+        reach = _rb(self.cpg.edges_ds, sinks, max_depth)
+        reached = set(reach.column("node").to_pylist())
+        src_ids = sources._ids() & reached
+        import ray
+
+        rref = ray.put(frozenset(src_ids))
+
+        class Pick:
+            def __init__(self, ref) -> None:
+                self.ids = pa.array(list(ray.get(ref)), pa.uint64())
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                return batch.filter(pc.is_in(batch.column("id"), value_set=self.ids))
+
+        return NodeSteps(
+            self.cpg,
+            self.cpg.nodes_ds().map_batches(
+                Pick, fn_constructor_args=(rref,), batch_format="pyarrow", concurrency=(1, 4)
+            ),
+        )
+
+    # ---- materializers (reference Steps.l / toJson) -------------------
+
+    def l(self, columns: list[str] | None = None) -> pa.Table:  # noqa: E743
+        parts = list(self.ds.iter_batches(batch_format="pyarrow"))
+        t = pa.concat_tables(parts) if parts else None
+        if t is None:
+            import pyarrow as _pa
+
+            from ..schemas import NODES_SCHEMA
+
+            t = NODES_SCHEMA.empty_table()
+        if columns:
+            t = t.select(columns)
+        return t.sort_by("id") if "id" in t.column_names else t
+
+    def to_json(self, columns: list[str] | None = None) -> list[dict]:
+        return self.l(columns).to_pylist()
+
+    def size(self) -> int:
+        return self.ds.count()
+
+
+class Cpg:
+    """`cpg`-style root over materialized node/edge Parquet paths."""
+
+    def __init__(self, nodes_path: str, edges_path: str) -> None:
+        self.nodes_path = nodes_path
+        self.edges_path = edges_path
+
+    def nodes_ds(self):
+        import ray.data
+
+        return ray.data.read_parquet(self.nodes_path)
+
+    def edges_ds(self):
+        import ray.data
+
+        return ray.data.read_parquet(self.edges_path, columns=["subj", "pred", "obj"])
+
+    def _label(self, *labels: str) -> NodeSteps:
+        ls = pa.array(list(labels))
+
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column("label"), value_set=ls))
+
+        return NodeSteps(self, self.nodes_ds().map_batches(f, batch_format="pyarrow"))
+
+    # node-type starters (reference NodeTypeStarters)
+    def all(self) -> NodeSteps:
+        return NodeSteps(self, self.nodes_ds())
+
+    def method(self, name_regex: str | None = None) -> NodeSteps:
+        s = self._label("METHOD")
+        return s.name(name_regex) if name_regex else s
+
+    def call(self, name_regex: str | None = None) -> NodeSteps:
+        s = self._label("CALL")
+        return s.name(name_regex) if name_regex else s
+
+    def identifier(self) -> NodeSteps:
+        return self._label("IDENTIFIER")
+
+    def literal(self, code_regex: str | None = None) -> NodeSteps:
+        s = self._label("LITERAL")
+        return s.code(code_regex) if code_regex else s
+
+    def local(self) -> NodeSteps:
+        return self._label("LOCAL")
+
+    def type_decl(self) -> NodeSteps:
+        return self._label("TYPE_DECL")
+
+    def file(self) -> NodeSteps:
+        return self._label("FILE")
+
+    def parameter(self) -> NodeSteps:
+        return self._label("METHOD_PARAMETER_IN")
+
+    def control_structure(self) -> NodeSteps:
+        return self._label("CONTROL_STRUCTURE")
+
+    def method_ref(self) -> NodeSteps:
+        return self._label("METHOD_REF")

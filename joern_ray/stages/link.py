@@ -68,38 +68,81 @@ def mapside_link_edges(batch: pa.Table) -> pa.Table:
     (parser convention); it explodes here into one INHERITS_FROM edge per
     base type (reference `TypeHierarchyPass.scala:12-33` explodes the
     multi-valued inheritsFromTypeFullName the same way)."""
-    labels = batch.column("label").to_pylist()
-    ids = batch.column("id").to_pylist()
-    tfns = batch.column("type_full_name").to_pylist()
-    urls = batch.column("url").to_pylist()
-    names = batch.column("name").to_pylist()
-    rows: list[dict] = []
-    for lab, nid, tfn, url, name in zip(labels, ids, tfns, urls, names):
-        if tfn:
-            if lab == "TYPE_DECL":
-                for base in tfn.split(";"):
-                    if base:
-                        rows.append(
-                            {
-                                "subj": nid,
-                                "pred": "INHERITS_FROM",
-                                "obj": type_id(base),
-                                "variable": None,
-                            }
-                        )
-            else:
-                rows.append(
-                    {"subj": nid, "pred": "EVAL_TYPE", "obj": type_id(tfn), "variable": None}
-                )
-        if lab in _FILE_LINKED and url:
-            rows.append(
-                {"subj": nid, "pred": "SOURCE_FILE", "obj": file_id(url), "variable": None}
-            )
-        if lab == "NAMESPACE_BLOCK":
-            rows.append(
-                {"subj": nid, "pred": "REF", "obj": namespace_id(name), "variable": None}
-            )
-    return rows_to_table(rows, EDGES_SCHEMA)
+    import numpy as np
+
+    labels = batch.column("label")
+    subj_parts: list[pa.Array] = []
+    obj_parts: list[np.ndarray] = []
+    pred_parts: list[tuple[str, int]] = []
+
+    def _hashed_lookup(values: pa.ChunkedArray, prefix: str) -> np.ndarray:
+        """Vectorized key -> content-hash id: hash only the (few) unique
+        values, then scatter via dictionary indices."""
+        arr = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
+        d = pc.dictionary_encode(arr)
+        uniq = d.dictionary.to_pylist()
+        hashed = np.array([hash64(prefix, u) for u in uniq], dtype=np.uint64)
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return hashed[idx]
+
+    # EVAL_TYPE: every non-TYPE_DECL row with a type_full_name
+    tfn = batch.column("type_full_name")
+    ev_mask = pc.and_(
+        pc.and_(tfn.is_valid(), pc.not_equal(pc.coalesce(tfn, pa.scalar("")), "")),
+        pc.not_equal(labels, "TYPE_DECL"),
+    )
+    ev = batch.filter(ev_mask)
+    if ev.num_rows:
+        subj_parts.append(ev.column("id").combine_chunks())
+        obj_parts.append(_hashed_lookup(ev.column("type_full_name"), "TYPE"))
+        pred_parts.append(("EVAL_TYPE", ev.num_rows))
+    # INHERITS_FROM: TYPE_DECL rows, ;-exploded (few rows — python ok)
+    td = batch.filter(
+        pc.and_(pc.equal(labels, "TYPE_DECL"), pc.not_equal(pc.coalesce(tfn, pa.scalar("")), ""))
+    )
+    if td.num_rows:
+        s_ids, o_ids = [], []
+        for nid, v in zip(td.column("id").to_pylist(), td.column("type_full_name").to_pylist()):
+            for base in v.split(";"):
+                if base:
+                    s_ids.append(nid)
+                    o_ids.append(type_id(base))
+        if s_ids:
+            subj_parts.append(pa.array(s_ids, pa.uint64()))
+            obj_parts.append(np.array(o_ids, dtype=np.uint64))
+            pred_parts.append(("INHERITS_FROM", len(s_ids)))
+    # SOURCE_FILE
+    url = batch.column("url")
+    sf_mask = pc.and_(
+        pc.is_in(labels, value_set=pa.array(list(_FILE_LINKED))),
+        pc.and_(url.is_valid(), pc.not_equal(pc.coalesce(url, pa.scalar("")), "")),
+    )
+    sf = batch.filter(sf_mask)
+    if sf.num_rows:
+        subj_parts.append(sf.column("id").combine_chunks())
+        obj_parts.append(_hashed_lookup(sf.column("url"), "FILE"))
+        pred_parts.append(("SOURCE_FILE", sf.num_rows))
+    # NAMESPACE REF
+    ns = batch.filter(pc.equal(labels, "NAMESPACE_BLOCK"))
+    if ns.num_rows:
+        subj_parts.append(ns.column("id").combine_chunks())
+        obj_parts.append(_hashed_lookup(ns.column("name"), "NAMESPACE"))
+        pred_parts.append(("REF", ns.num_rows))
+    if not subj_parts:
+        return EDGES_SCHEMA.empty_table()
+    n_total = sum(n for _, n in pred_parts)
+    preds = pa.array(
+        [p for p, n in pred_parts for _ in range(n)], pa.string()
+    )
+    return pa.table(
+        {
+            "subj": pa.concat_arrays([s.cast(pa.uint64()) for s in subj_parts]),
+            "pred": preds,
+            "obj": pa.array(np.concatenate(obj_parts), pa.uint64()),
+            "variable": pa.nulls(n_total, pa.string()),
+        },
+        schema=EDGES_SCHEMA,
+    )
 
 
 def type_dimension(nodes_ds) -> "pa.Table":
@@ -199,6 +242,45 @@ def namespace_dimension(nodes_ds) -> "pa.Table":
 # ---------------------------------------------------------------------------
 
 
+def canonicalize_table(t: pa.Table) -> pa.Table:
+    """Driver-side canonicalization of a collected METHOD/TYPE_DECL table
+    (broadcast regime): stable sort by (full_name, url, fragment_idx,
+    line, col), rename every non-first member of a collision group with
+    the `<duplicate>N` suffix — same semantics as the distributed
+    `canonicalize_group`, one pass, no shuffle."""
+    import numpy as np
+
+    if t.num_rows <= 1:
+        return t
+    t = t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[
+                ("full_name", "ascending"),
+                ("url", "ascending"),
+                ("fragment_idx", "ascending"),
+                ("line", "ascending"),
+                ("col", "ascending"),
+            ],
+        )
+    )
+    fns = t.column("full_name").to_numpy(zero_copy_only=False)
+    same = np.concatenate(([False], fns[1:] == fns[:-1]))
+    if not same.any():
+        return t
+    out = fns.copy()
+    occ = 0
+    for i in range(1, len(fns)):
+        if same[i]:
+            out[i] = f"{fns[i]}<duplicate>{occ}"
+            occ += 1
+        else:
+            occ = 0
+    return t.set_column(
+        t.schema.get_field_index("full_name"), "full_name", pa.array(out.tolist(), pa.string())
+    )
+
+
 def canonicalize_group(batch: pa.Table) -> pa.Table:
     """map_groups UDF over METHOD/TYPE_DECL rows grouped by full_name:
     keeps the stable-first row as canonical, renames the rest."""
@@ -275,35 +357,36 @@ class CallLinker:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        labels = batch.column("label").to_pylist()
-        ids = batch.column("id").to_pylist()
-        fqns = batch.column("method_full_name").to_pylist()
-        rows: list[dict] = []
+        import numpy as np
+
+        fq = pc.coalesce(batch.column("method_full_name"), pa.scalar(""))
+        keep = batch.filter(pc.not_equal(fq, ""))
+        if keep.num_rows == 0:
+            return EDGES_SCHEMA.empty_table()
+        # vectorized fqn -> target id: resolve only the (few) unique fqns
+        # per batch, then scatter via dictionary indices
+        d = pc.dictionary_encode(keep.column("method_full_name").combine_chunks())
+        uniq = d.dictionary.to_pylist()
         idx = self.index
-        for lab, nid, fqn in zip(labels, ids, fqns):
-            if not fqn:
-                continue
-            if lab == "CALL":
-                tgt = idx.get(fqn)
-                rows.append(
-                    {
-                        "subj": nid,
-                        "pred": "CALL",
-                        "obj": tgt if tgt is not None else stub_id(fqn),
-                        "variable": None,
-                    }
-                )
-            elif lab == "METHOD_REF":
-                tgt = idx.get(fqn)
-                rows.append(
-                    {
-                        "subj": nid,
-                        "pred": "REF",
-                        "obj": tgt if tgt is not None else stub_id(fqn),
-                        "variable": None,
-                    }
-                )
-        return rows_to_table(rows, EDGES_SCHEMA)
+        targets = np.array(
+            [idx.get(u) if idx.get(u) is not None else stub_id(u) for u in uniq],
+            dtype=np.uint64,
+        )
+        obj = targets[d.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        pred = pc.if_else(
+            pc.equal(keep.column("label"), "CALL"),
+            pa.scalar("CALL"),
+            pa.scalar("REF"),
+        )
+        return pa.table(
+            {
+                "subj": keep.column("id").combine_chunks().cast(pa.uint64()),
+                "pred": pred.combine_chunks() if isinstance(pred, pa.ChunkedArray) else pred,
+                "obj": pa.array(obj, pa.uint64()),
+                "variable": pa.nulls(keep.num_rows, pa.string()),
+            },
+            schema=EDGES_SCHEMA,
+        )
 
 
 def unresolved_stub_dimension(calls_ds, index_table: pa.Table) -> pa.Table:

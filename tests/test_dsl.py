@@ -1,0 +1,98 @@
+"""t1: traversal DSL over a built CPG — mirrors querydb query shapes
+(`querydb/.../c/DangerousFunctions.scala:13-52`:
+`cpg.method("(?i)gets").callIn`)."""
+
+import shutil
+
+import pyarrow as pa
+import pytest
+
+OUT = "/tmp/joern_ray_test_dsl"
+
+DOC = (
+    '<html><body><pre><code class="language-c">'
+    "int helper(int v) { return v + 1; }\n"
+    "int main(void) {\n"
+    "  char buf[8];\n"
+    "  gets(buf);\n"
+    "  int r = helper(2);\n"
+    "  return r;\n"
+    "}\n"
+    "</code></pre></body></html>"
+)
+
+
+@pytest.fixture(scope="module")
+def cpg(ray_session):
+    import ray.data
+
+    from joern_ray.pipelines.cpg import build_cpg
+    from joern_ray.query.dsl import Cpg
+
+    shutil.rmtree(OUT, ignore_errors=True)
+
+    def docs_factory(columns):
+        t = pa.table(
+            {
+                "url": ["https://dsl/1"],
+                "warc_ts": pa.array([0], pa.timestamp("us")),
+                "html": pa.array([DOC.encode()], pa.large_binary()),
+                "text": [""],
+                "lang": ["en"],
+            }
+        )
+        return ray.data.from_arrow(t)
+
+    res = build_cpg(docs_factory, OUT, "dsl-1", num_partitions=2, parse_concurrency=1)
+    return Cpg(res["nodes_path"], res["edges_path"])
+
+
+def test_method_starter_and_name_filter(cpg):
+    t = cpg.method("helper").l(["name", "full_name"])
+    assert t.column("name").to_pylist() == ["helper"]
+
+
+def test_dangerous_function_scan_shape(cpg):
+    """cpg.method(\"(?i)gets\").callIn — the reference query pattern."""
+    calls = cpg.method("^gets$").call_in().l(["label", "code"])
+    assert calls.column("label").to_pylist() == ["CALL"]
+    assert calls.column("code")[0].as_py() == "gets(buf)"
+
+
+def test_call_callee_resolves(cpg):
+    callee = cpg.call("^helper$").callee().l(["label", "name", "code"])
+    assert callee.column("label").to_pylist() == ["METHOD"]
+    assert callee.column("code")[0].as_py().startswith("int helper")
+
+
+def test_ast_children_of_method(cpg):
+    kids = cpg.method("^main$").ast_children().l(["label"])
+    labels = set(kids.column("label").to_pylist())
+    assert "BLOCK" in labels and "METHOD_RETURN" in labels
+
+
+def test_argument_expansion(cpg):
+    args = cpg.call("^gets$").argument().l(["label", "name"])
+    assert ("IDENTIFIER", "buf") in list(
+        zip(args.column("label").to_pylist(), args.column("name").to_pylist())
+    )
+
+
+def test_literal_and_code_filter(cpg):
+    lits = cpg.literal("^2$").l(["code"])
+    assert "2" in lits.column("code").to_pylist()
+
+
+def test_contains_and_parent(cpg):
+    inside = cpg.method("^main$").contains().l(["label"])
+    assert "CALL" in set(inside.column("label").to_pylist())
+    par = cpg.call("^gets$").ast_parent().l(["label"])
+    assert par.num_rows >= 1
+
+
+def test_reachable_by(cpg):
+    """r (use in return) is reachable from the helper-call assignment."""
+    ret_uses = cpg.identifier().name("^r$")
+    sources = cpg.call().code("r = helper")
+    hits = ret_uses.reachable_by(sources).l(["label", "code"])
+    assert hits.num_rows >= 1

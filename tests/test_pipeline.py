@@ -37,9 +37,13 @@ def cpg(ray_session):
 def _read_all(ray_session, path):
     import ray.data
 
-    return pa.concat_tables(
+    t = pa.concat_tables(
         list(ray.data.read_parquet(path).iter_batches(batch_format="pyarrow"))
     )
+    # parallel read tasks surface batches in nondeterministic order; the
+    # on-disk files are deterministic — compare in sorted order
+    keys = [(c, "ascending") for c in ("id", "subj", "pred", "obj", "label") if c in t.column_names]
+    return t.take(pc.sort_indices(t, sort_keys=keys))
 
 
 def test_pipeline_produces_graph(ray_session, cpg):
