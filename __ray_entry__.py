@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dataflow + export
         "dataflow_malloc_to_free": q.dataflow_malloc_to_free,
         "export_dot_methods": q.export_dot_methods,
+        "method_vectors_corpus": q.method_vectors_corpus,
     }
 
 

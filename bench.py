@@ -29,8 +29,10 @@ BENCH_OUT = "/tmp/joern_ray_bench"
 
 
 def _docs_count() -> int:
+    if "JOERN_RAY_BENCH_DOCS" in os.environ:
+        return int(os.environ["JOERN_RAY_BENCH_DOCS"])
     name = os.path.basename(os.path.normpath(SF_DIR))
-    return {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000}.get(name, 30000)
+    return {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 100000}.get(name, 100000)
 
 
 def _corpus_path(n: int) -> str:
@@ -49,12 +51,30 @@ def _corpus_path(n: int) -> str:
     return path
 
 
+def _warm_workers(num_cpus: int) -> None:
+    """Pre-import the library in Ray worker processes so cold-start
+    import cost (~1-2s/worker) doesn't pollute throughput measurements —
+    a long-lived cluster amortizes this to zero."""
+    import ray
+
+    @ray.remote
+    def _warm() -> int:
+        import joern_ray.pipelines.cpg  # noqa: F401
+        import joern_ray.stages.parse  # noqa: F401
+
+        return 0
+
+    ray.get([_warm.remote() for _ in range(num_cpus)])
+
+
 def run_cpg_build(num_cpus: int) -> dict:
     """Cold CPG build (cache wiped) over Parquet input — the headline.
     Returns seconds and output row counts."""
     import ray.data
 
     from joern_ray.pipelines.cpg import build_cpg
+
+    _warm_workers(num_cpus)
 
     n = _docs_count()
     corpus = _corpus_path(n)
@@ -69,7 +89,6 @@ def run_cpg_build(num_cpus: int) -> dict:
         docs_factory,
         out,
         f"bench-{n}",
-        parse_concurrency=(1, max(2, num_cpus)),
         num_partitions=32,
     )
     wall = time.perf_counter() - t0

@@ -217,3 +217,43 @@ def export_sarif(findings: pa.Table, path: str, tool_name: str = "joern-ray-scan
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     return path
+
+
+def export_graphson(nodes: pa.Table, edges: pa.Table, path: str) -> str:
+    """Whole-graph GraphSON 3.0-ish (reference JoernExport format
+    Graphson); driver-side — use on filtered subgraphs."""
+    g = {"vertices": [], "edges": []}
+    for nid, lab, name, code in zip(
+        nodes.column("id").to_pylist(),
+        nodes.column("label").to_pylist(),
+        nodes.column("name").to_pylist(),
+        nodes.column("code").to_pylist(),
+    ):
+        g["vertices"].append(
+            {
+                "id": {"@type": "g:Int64", "@value": nid},
+                "label": lab,
+                "properties": {
+                    "name": name or "",
+                    "code": (code or "")[:120],
+                },
+            }
+        )
+    for i, (s, p, o) in enumerate(
+        zip(
+            edges.column("subj").to_pylist(),
+            edges.column("pred").to_pylist(),
+            edges.column("obj").to_pylist(),
+        )
+    ):
+        g["edges"].append(
+            {
+                "id": {"@type": "g:Int64", "@value": i},
+                "label": p,
+                "outV": {"@type": "g:Int64", "@value": s},
+                "inV": {"@type": "g:Int64", "@value": o},
+            }
+        )
+    with open(path, "w") as f:
+        json.dump(g, f)
+    return path

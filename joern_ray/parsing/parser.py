@@ -87,6 +87,7 @@ class FragmentParser:
         self.url = url
         self.fragment_idx = fragment_idx
         self.scopes: list[dict[str, PNode]] = [{}]
+        self.class_members_stack: list[dict[str, PNode]] = []
         self.node_count = 0
         self.lambda_counter = 0
         self.lambda_stack: list[list[PNode]] = []
@@ -330,6 +331,11 @@ class FragmentParser:
             type_full_name=";".join(inherits),
         )
         self._expect("{")
+        # field registry for in-fragment field-access linking (reference
+        # `FieldAccessLinkerPass.scala:18-89` joins on (base type, field
+        # name) as a later pass; here fields declared before use link at
+        # parse time — the common layout)
+        self.class_members_stack.append({})
         while not self._at_eof() and not self._at("}"):
             start = self.i
             try:
@@ -340,10 +346,13 @@ class FragmentParser:
                         # simplified BINDS (reference routes via BINDING
                         # nodes; we emit the direct TYPE_DECL->METHOD edge)
                         td.extra_edges.append(("BINDS", member))
+                    elif member.label == "MEMBER":
+                        self.class_members_stack[-1][member.name] = member
             except ParseError:
                 self._sync(start, td)
             if self.i == start:
                 self.i += 1
+        self.class_members_stack.pop()
         self._accept("}")
         return td
 
@@ -1342,6 +1351,12 @@ class FragmentParser:
                         name=fname_tok.text,
                         code=fname_tok.text,
                     )
+                    if (
+                        node.code == "this"
+                        and self.class_members_stack
+                        and fname_tok.text in self.class_members_stack[-1]
+                    ):
+                        fid.ref_target = self.class_members_stack[-1][fname_tok.text]
                     opname = OPERATORS[op]
                     call = self._new(
                         "CALL",
@@ -1448,6 +1463,8 @@ class FragmentParser:
                 return self._new("LITERAL", t, code=txt, type_full_name="null")
             ident = self._new("IDENTIFIER", t, name=txt, code=txt)
             target = self._lookup(txt)
+            if target is None and self.class_members_stack:
+                target = self.class_members_stack[-1].get(txt)
             if target is not None:
                 ident.ref_target = target
                 if target.type_full_name:

@@ -97,8 +97,22 @@ def _survey(nodes_ds) -> dict:
     kinds: 'm' METHOD full_names (count), 'td' TYPE_DECL full_names
     (count), 'ty' type fqns (exploded; distinct), 'ns' namespace names
     (distinct), 'ca' CALL/METHOD_REF method_full_names (distinct)."""
+    # materialize the (tiny) partials so the groupby's boundary-sampling
+    # pass doesn't re-execute the full node scan a second time
+    partials = nodes_ds.map_batches(_survey_partial, batch_format="pyarrow").materialize()
+    agg = partials.groupby(["kind", "key"]).sum("c")
+    out: dict[str, dict[str, int]] = {"m": {}, "td": {}, "ty": {}, "ns": {}, "ca": {}}
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        for k, key, c in zip(
+            b.column("kind").to_pylist(),
+            b.column("key").to_pylist(),
+            b.column("sum(c)").to_pylist(),
+        ):
+            out[k][key] = c
+    return out
 
-    def partial(batch: pa.Table) -> pa.Table:
+
+def _survey_partial(batch: pa.Table) -> pa.Table:
         ks, keys, cs = [], [], []
         labels = batch.column("label")
         for kind, lab in (("m", "METHOD"), ("td", "TYPE_DECL")):
@@ -148,26 +162,13 @@ def _survey(nodes_ds) -> dict:
             }
         )
 
-    agg = nodes_ds.map_batches(partial, batch_format="pyarrow").groupby(
-        ["kind", "key"]
-    ).sum("c")
-    out: dict[str, dict[str, int]] = {"m": {}, "td": {}, "ty": {}, "ns": {}, "ca": {}}
-    for b in agg.iter_batches(batch_format="pyarrow"):
-        for k, key, c in zip(
-            b.column("kind").to_pylist(),
-            b.column("key").to_pylist(),
-            b.column("sum(c)").to_pylist(),
-        ):
-            out[k][key] = c
-    return out
-
 
 def build_cpg(
     docs_factory,
     out_dir: str,
     fingerprint: str,
     *,
-    parse_concurrency: int | tuple = (1, 16),
+    parse_concurrency: int | tuple | None = None,
     batch_size: int = 128,
     broadcast_limit: int = 2_000_000,
     hot_key_threshold: int = 5_000,
@@ -179,8 +180,20 @@ def build_cpg(
 
     `docs_factory(columns)` must return a fresh docs Dataset (optionally
     column-pruned); it is consumed exactly once (by the parse stage)."""
+    import sys
+    import time
+
     import ray
     import ray.data
+
+    _prof = os.environ.get("JOERN_RAY_PROFILE")
+    _t = [time.perf_counter()]
+
+    def _mark(label: str) -> None:
+        if _prof:
+            _t.append(time.perf_counter())
+            print(f"[build_cpg] {label}: {_t[-1] - _t[-2]:.2f}s", file=sys.stderr, flush=True)
+            _t[-1] = time.perf_counter()
 
     os.makedirs(out_dir, exist_ok=True)
     parse_path = os.path.join(out_dir, "parse")
@@ -188,6 +201,16 @@ def build_cpg(
     edges_path = os.path.join(out_dir, "edges")
 
     # ---- stage: parse (pure map chain, streams) -----------------------
+    # FIXED-size actor pool sized to the cluster: an autoscaling pool
+    # starting at 1 ramps too slowly for a minutes-long stage, and Ray
+    # fuses the whole upstream chain into the pool, so the ramp gates
+    # the entire parse (observed: identical wall time at 8 and 32 CPUs).
+    if parse_concurrency is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        eff_parse_concurrency: int | tuple = max(2, n_cpus - 1)
+    else:
+        eff_parse_concurrency = parse_concurrency
+
     def parse_pipeline():
         ds = docs_factory(None)
         frags = ds.map_batches(detect_fragments_batch, batch_format="pyarrow")
@@ -195,10 +218,11 @@ def build_cpg(
             ParseFragments,
             batch_size=batch_size,
             batch_format="pyarrow",
-            concurrency=parse_concurrency,
+            concurrency=eff_parse_concurrency,
         )
 
     checkpoint(parse_pipeline, parse_path, "parse", fingerprint)
+    _mark("parse")
     parse_fp = f"{fingerprint}/parse"
 
     if manifest_matches(nodes_path, parse_fp) and manifest_matches(edges_path, parse_fp):
@@ -212,22 +236,6 @@ def build_cpg(
 
     nodes = lambda: read_union_split(parse_path, "node")  # noqa: E731
 
-    # ---- stage: survey (one pass) -------------------------------------
-    sv = _survey(nodes())
-    dup_fqns = frozenset(
-        k for d in (sv["m"], sv["td"]) for k, c in d.items() if c >= 2
-    )
-    n_methods = len(sv["m"])
-    use_broadcast = (not force_shuffle_link) and n_methods <= broadcast_limit
-
-    # ---- stage: link --------------------------------------------------
-    def mt_proj():
-        def _f(batch: pa.Table) -> pa.Table:
-            m = pc.is_in(batch.column("label"), value_set=pa.array(["METHOD", "TYPE_DECL"]))
-            return batch.filter(m)
-
-        return nodes().map_batches(_f, batch_format="pyarrow")
-
     def other_proj():
         def _f(batch: pa.Table) -> pa.Table:
             m = pc.is_in(batch.column("label"), value_set=pa.array(["METHOD", "TYPE_DECL"]))
@@ -235,17 +243,85 @@ def build_cpg(
 
         return nodes().map_batches(_f, batch_format="pyarrow")
 
+    def mt_proj():
+        def _f(batch: pa.Table) -> pa.Table:
+            m = pc.is_in(batch.column("label"), value_set=pa.array(["METHOD", "TYPE_DECL"]))
+            return batch.filter(m)
+
+        return nodes().map_batches(_f, batch_format="pyarrow")
+
+    # ---- stage: survey + mt collect (ONE pass, broadcast regime) ------
+    # Each batch emits its survey partials AND its METHOD/TYPE_DECL rows
+    # in a tagged union; the driver merges partial counters (tiny) and
+    # concatenates mt rows.  Falls back to the distributed survey +
+    # shuffle linking when methods exceed the broadcast budget.
+    mt_parts: list[pa.Table] = []
+    sv: dict = {"m": {}, "td": {}, "ty": {}, "ns": {}, "ca": {}}
+    overflow = force_shuffle_link
+    if not force_shuffle_link:
+        mt_cols = list(NODES_SCHEMA.names)
+
+        def merged(batch: pa.Table) -> pa.Table:
+            svt = _survey_partial(batch)
+            m = pc.is_in(batch.column("label"), value_set=pa.array(["METHOD", "TYPE_DECL"]))
+            mt = batch.filter(m)
+            n_s, n_m = svt.num_rows, mt.num_rows
+            cols = {}
+            for name in mt_cols:
+                typ = NODES_SCHEMA.field(name).type
+                cols[name] = pa.concat_arrays(
+                    [pa.nulls(n_s, typ), mt.column(name).combine_chunks().cast(typ)]
+                )
+            cols["kind"] = pa.concat_arrays(
+                [svt.column("kind").combine_chunks(), pa.nulls(n_m, pa.string())]
+            )
+            cols["key"] = pa.concat_arrays(
+                [svt.column("key").combine_chunks(), pa.nulls(n_m, pa.string())]
+            )
+            cols["c"] = pa.concat_arrays(
+                [svt.column("c").combine_chunks(), pa.nulls(n_m, pa.int64())]
+            )
+            return pa.table(cols)
+
+        n_mt_rows = 0
+        for b in nodes().map_batches(merged, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            kind_col = b.column("kind")
+            svr = b.filter(kind_col.is_valid())
+            for k, key, c in zip(
+                svr.column("kind").to_pylist(),
+                svr.column("key").to_pylist(),
+                svr.column("c").to_pylist(),
+            ):
+                sv[k][key] = sv[k].get(key, 0) + c
+            mt = b.filter(pc.invert(kind_col.is_valid())).select(mt_cols)
+            if mt.num_rows:
+                n_mt_rows += mt.num_rows
+                if n_mt_rows <= broadcast_limit * 2:
+                    mt_parts.append(mt)
+                else:
+                    overflow = True
+        if len(sv["m"]) > broadcast_limit:
+            overflow = True
+    if overflow:
+        mt_parts = []
+        sv = _survey(nodes())
+    _mark("survey")
+    dup_fqns = frozenset(
+        k for d in (sv["m"], sv["td"]) for k, c in d.items() if c >= 2
+    )
+    n_methods = len(sv["m"])
+    use_broadcast = not overflow
+
+    # ---- stage: link --------------------------------------------------
     link_regime = "broadcast" if use_broadcast else "salted_shuffle"
     if use_broadcast:
-        # collect METHOD/TYPE_DECL rows ONCE and canonicalize in memory —
-        # one scan, no shuffle; feeds the method index, stub derivation
-        # AND the final node write (no checkpoint)
         from ..stages.link import canonicalize_table
 
-        parts = list(mt_proj().iter_batches(batch_format="pyarrow"))
         canon_t = (
-            canonicalize_table(pa.concat_tables(parts))
-            if parts
+            canonicalize_table(pa.concat_tables(mt_parts))
+            if mt_parts
             else NODES_SCHEMA.empty_table()
         )
         m_mask = pc.equal(canon_t.column("label"), "METHOD")
@@ -260,11 +336,18 @@ def build_cpg(
         keepm = np.ones(len(fns), dtype=bool)
         if len(fns):
             keepm[1:] = fns[1:] != fns[:-1]
-        index_table = methods_t.filter(pa.array(keepm)).select(["full_name", "id"])
-        index_ref = ray.put(index_table)
+        index_table = methods_t.filter(pa.array(keepm)).select(
+            ["full_name", "id", "signature"]
+        )
         known = set(index_table.column("full_name").to_pylist())
         canonical_mt_for_write = ray.data.from_arrow(canon_t) if canon_t.num_rows else None
         salted = None
+        extra_types = {
+            sig.split("(")[0]
+            for sig in index_table.column("signature").to_pylist()
+            if sig and "(" in sig and sig.split("(")[0] not in ("", "ANY")
+        }
+        _mark("canonical_collect")
     else:
         # distributed canonicalization: shuffle ONLY rows whose full_name
         # actually collides (dup survey keeps the Sort input tiny)
@@ -294,7 +377,7 @@ def build_cpg(
         checkpoint(lambda: canonical_mt, canon_path, "canonical_mt", parse_fp)
         canonical_mt_for_write = ray.data.read_parquet(canon_path)
         known = set(sv["m"].keys())
-        index_ref = None
+        extra_types: set[str] = set()
         salted = lambda facts: salted_call_link(  # noqa: E731
             facts,
             ray.data.read_parquet(canon_path),
@@ -302,22 +385,17 @@ def build_cpg(
             n_salts=n_salts,
         )
 
-    def calls_proj():
-        def _f(batch: pa.Table) -> pa.Table:
-            m = pc.is_in(batch.column("label"), value_set=pa.array(["CALL", "METHOD_REF"]))
-            return batch.filter(m).select(["id", "label", "method_full_name"])
+    if not use_broadcast:
 
-        return nodes().map_batches(_f, batch_format="pyarrow")
+        def calls_proj():
+            def _f(batch: pa.Table) -> pa.Table:
+                m = pc.is_in(
+                    batch.column("label"), value_set=pa.array(["CALL", "METHOD_REF"])
+                )
+                return batch.filter(m).select(["id", "label", "method_full_name"])
 
-    if use_broadcast:
-        link_edges = calls_proj().map_batches(
-            CallLinker,
-            fn_constructor_args=(index_ref,),
-            batch_size=8192,
-            batch_format="pyarrow",
-            concurrency=(1, 8),
-        )
-    else:
+            return nodes().map_batches(_f, batch_format="pyarrow")
+
         link_edges = salted(calls_proj())
 
     # dimensions + stubs — derived from the survey, zero extra passes
@@ -333,7 +411,7 @@ def build_cpg(
             "line": -1,
             "col": -1,
         }
-        for f in sorted(sv["ty"].keys())
+        for f in sorted(set(sv["ty"].keys()) | extra_types)
     ] + [
         {
             "id": namespace_id(n),
@@ -371,11 +449,69 @@ def build_cpg(
             base = base.union(canonical_mt_for_write)
         return base
 
-    mapside_edges = all_nodes().map_batches(mapside_link_edges, batch_format="pyarrow")
+    if use_broadcast:
+        # fused: CALL/REF resolution + map-side dimension links in ONE
+        # scan of the node stream.  Plain TASKS with the index dict
+        # captured in the closure (Ray stores large closures in the
+        # object store once) — tasks use all CPUs immediately, no actor
+        # ramp-up.
+        from ..stages.link import CombinedLinker
+
+        index_dict = dict(
+            zip(
+                index_table.column("full_name").to_pylist(),
+                index_table.column("id").to_pylist(),
+            )
+        )
+        # cross-document type recovery (iteration 2 of 2): resolved calls
+        # get their callee's return type (parsed off the signature)
+        ret_types = {
+            fqn: sig.split("(")[0]
+            for fqn, sig in zip(
+                index_table.column("full_name").to_pylist(),
+                index_table.column("signature").to_pylist(),
+            )
+            if sig and "(" in sig and sig.split("(")[0] not in ("", "ANY")
+        }
+
+        def _combined(batch: pa.Table) -> pa.Table:
+            linker = CombinedLinker.__new__(CombinedLinker)
+            linker.index = index_dict
+            linker.ret_types = ret_types
+            return linker(batch)
+
+        node_derived_edges = all_nodes().map_batches(_combined, batch_format="pyarrow")
+        final_edges = read_union_split(parse_path, "edge").union(node_derived_edges)
+    else:
+        mapside_edges = all_nodes().map_batches(
+            mapside_link_edges, batch_format="pyarrow"
+        )
+        final_edges = read_union_split(parse_path, "edge").union(
+            link_edges, mapside_edges
+        )
     final_nodes = all_nodes().union(dims_ds)
-    final_edges = read_union_split(parse_path, "edge").union(link_edges, mapside_edges)
-    partitioned_write(final_nodes, nodes_path, "nodes", parse_fp, num_partitions)
-    partitioned_write(final_edges, edges_path, "edges", parse_fp, num_partitions)
+
+    # the two writes are independent — run them concurrently so their
+    # executions interleave instead of serializing driver-side
+    import threading
+
+    errs: list[BaseException] = []
+
+    def _w(ds_, path_, name_):
+        try:
+            partitioned_write(ds_, path_, name_, parse_fp, num_partitions)
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=_w, args=(final_nodes, nodes_path, "nodes"))
+    t2 = threading.Thread(target=_w, args=(final_edges, edges_path, "edges"))
+    t1.start()
+    t2.start()
+    t1.join()
+    t2.join()
+    _mark("writes")
+    if errs:
+        raise errs[0]
     return {
         "out_dir": out_dir,
         "nodes_path": nodes_path,

@@ -626,3 +626,28 @@ def minhash_dedup_corpus(sf_dir: str) -> pa.Table:
             "n_collapsed": pa.array([n - n_clusters], pa.int64()),
         }
     )
+
+
+def method_vectors_corpus(sf_dir: str) -> pa.Table:
+    """joern-vectors analog: per-method feature-hash vectors over the
+    corpus; returns counts + dim + a determinism digest."""
+    from ..functions.vectors import method_vectors
+    from ..sources.corpus import docs_dataset
+
+    n = min(_docs_count_for(sf_dir), 3000)
+    out = method_vectors(docs_dataset(n, parallelism=4), concurrency=(1, 4))
+    t = _collect(out)
+    import hashlib
+
+    vecs = t.column("vector").to_pylist()
+    digest = hashlib.blake2b(
+        str(sorted(zip(t.column("method_full_name").to_pylist(), [sum(v) for v in vecs]))).encode(),
+        digest_size=8,
+    ).hexdigest()
+    return pa.table(
+        {
+            "n_methods": pa.array([t.num_rows], pa.int64()),
+            "dim": pa.array([len(vecs[0]) if vecs else 0], pa.int64()),
+            "digest": pa.array([digest], pa.string()),
+        }
+    )

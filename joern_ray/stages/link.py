@@ -432,6 +432,59 @@ def unresolved_stub_dimension(calls_ds, index_table: pa.Table) -> pa.Table:
     )
 
 
+class CombinedLinker(CallLinker):
+    """Fused per-batch linker: CALL/METHOD_REF resolution (CallLinker)
+    + all map-side dimension links (mapside_link_edges) in ONE scan of
+    the node stream — halves the Parquet scans feeding the edge write.
+
+    When `ret_types` (fqn -> return type) is set, resolved CALLs also get
+    an EVAL_TYPE edge to their callee's return type — the cross-document
+    half of type recovery (reference `XTypeRecovery` propagates types in
+    2 fixed iterations, `x2cpg/.../frontend/XTypeRecovery.scala:25,
+    94-111`; the per-unit SymbolTable half runs inside the parser)."""
+
+    ret_types: dict | None = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        calls = batch.filter(
+            pc.is_in(batch.column("label"), value_set=pa.array(["CALL", "METHOD_REF"]))
+        )
+        call_edges = (
+            CallLinker.__call__(self, calls)
+            if calls.num_rows
+            else EDGES_SCHEMA.empty_table()
+        )
+        parts = [call_edges, mapside_link_edges(batch)]
+        if self.ret_types and calls.num_rows:
+            import numpy as np
+
+            d = pc.dictionary_encode(
+                pc.coalesce(calls.column("method_full_name"), pa.scalar("")).combine_chunks()
+            )
+            uniq = d.dictionary.to_pylist()
+            rt = [self.ret_types.get(u) for u in uniq]
+            tid = np.array(
+                [type_id(r) if r else 0 for r in rt], dtype=np.uint64
+            )
+            obj = tid[d.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+            keep = obj != 0
+            if keep.any():
+                subj = calls.column("id").combine_chunks().cast(pa.uint64()).to_numpy(zero_copy_only=False)[keep]
+                n = int(keep.sum())
+                parts.append(
+                    pa.table(
+                        {
+                            "subj": pa.array(subj, pa.uint64()),
+                            "pred": pa.array(["EVAL_TYPE"] * n, pa.string()),
+                            "obj": pa.array(obj[keep], pa.uint64()),
+                            "variable": pa.nulls(n, pa.string()),
+                        },
+                        schema=EDGES_SCHEMA,
+                    )
+                )
+        return pa.concat_tables(parts)
+
+
 # ---------------------------------------------------------------------------
 # Method linking: salted-shuffle regime (huge dimension side).
 # ---------------------------------------------------------------------------

@@ -27,8 +27,9 @@ from collections import OrderedDict
 
 import pyarrow as pa
 
+from ..functions.hashing import node_ids
 from ..graph.cfg import method_overlays
-from ..parsing.astmodel import PNode, flatten
+from ..parsing.astmodel import flatten
 from ..parsing.parser import FragmentParser, ParseError
 from ..schemas import EDGES_SCHEMA, NODES_SCHEMA, REJECTS_SCHEMA, rows_to_table
 
@@ -47,9 +48,14 @@ UNION_SCHEMA = pa.schema(
 def make_union_table(
     node_rows: list[dict], edge_rows: list[dict], reject_rows: list[dict]
 ) -> pa.Table:
-    nt = rows_to_table(node_rows, NODES_SCHEMA)
-    et = rows_to_table(edge_rows, EDGES_SCHEMA)
-    rt = rows_to_table(reject_rows, REJECTS_SCHEMA)
+    return make_union_from_tables(
+        rows_to_table(node_rows, NODES_SCHEMA),
+        rows_to_table(edge_rows, EDGES_SCHEMA),
+        rows_to_table(reject_rows, REJECTS_SCHEMA),
+    )
+
+
+def make_union_from_tables(nt: pa.Table, et: pa.Table, rt: pa.Table) -> pa.Table:
     n_n, n_e, n_r = nt.num_rows, et.num_rows, rt.num_rows
     cols: dict[str, pa.ChunkedArray | pa.Array] = {}
     for name in NODES_SCHEMA.names:
@@ -98,44 +104,77 @@ def split_union(ds, kind: str):
 class ParseFragments:
     """Actor-pool stage: FRAGMENTS_SCHEMA batches -> UNION_SCHEMA batches."""
 
+    _SENT_URL = "\x00SENTINEL"
+    _SENT_KEY = "\x00SENTINEL#0"
+    # template node columns: everything except the per-instance ones
+    _TMPL_COLS = [c for c in NODES_SCHEMA.names if c not in ("id", "url", "fragment_idx")]
+    _SUBST_COLS = ("full_name", "method_full_name", "type_full_name")
+
     def __init__(self, cache_size: int = 4096, with_overlays: bool = True) -> None:
         self.parsers = {
             d: FragmentParser(d) for d in ("c", "cpp", "java", "javascript")
         }
-        self.cache: OrderedDict[tuple[int, str], tuple[PNode, list]] = OrderedDict()
+        self.cache: OrderedDict[tuple[int, str], dict] = OrderedDict()
         self.cache_size = cache_size
         self.with_overlays = with_overlays
         self.hits = 0
         self.misses = 0
 
-    def _parse_one(
-        self, code: str, dialect: str, content_hash: int, url: str, idx: int
-    ) -> tuple[PNode, list] | None:
+    def _template(self, code: str, dialect: str, content_hash: int) -> dict | None:
+        """Parse + overlay ONCE per distinct fragment content, flatten to
+        a COLUMNAR template keyed on node sequence numbers.  Instancing a
+        template under a new (url, fragment_idx) is then list-extends +
+        one vectorized id computation — no tree walk, no per-row dicts.
+        """
         key = (content_hash, dialect)
-        cached = self.cache.get(key)
-        if cached is not None:
+        if key in self.cache:
             self.cache.move_to_end(key)
             self.hits += 1
-            return cached
+            return self.cache[key]
         self.misses += 1
         parser = self.parsers[dialect]
         try:
-            root = parser.parse(code, url, idx)
-        except ParseError:
+            root = parser.parse(code, self._SENT_URL, 0)
+        except (ParseError, RecursionError):
+            self.cache[key] = None  # negative cache: identical content fails identically
             return None
-        except RecursionError:
-            return None
-        overlays = method_overlays(root) if self.with_overlays else []
-        self.cache[key] = (root, overlays)
+        nrows, erows = flatten(root, self._SENT_URL, 0, dialect)
+        if self.with_overlays:
+            for a, pred, b, var in method_overlays(root):
+                erows.append({"subj": a.id, "pred": pred, "obj": b.id, "variable": var})
+        id2seq = {r["id"]: i for i, r in enumerate(nrows)}
+        node_cols = {c: [r[c] for r in nrows] for c in self._TMPL_COLS}
+        subst_idx = {
+            c: [
+                i
+                for i, v in enumerate(node_cols[c])
+                if isinstance(v, str) and self._SENT_KEY in v
+            ]
+            for c in self._SUBST_COLS
+        }
+        import numpy as np
+
+        tmpl = {
+            "n": len(nrows),
+            "node_cols": node_cols,
+            "subst_idx": {c: ix for c, ix in subst_idx.items() if ix},
+            "subj_seq": np.array([id2seq[e["subj"]] for e in erows], dtype=np.int64),
+            "obj_seq": np.array([id2seq[e["obj"]] for e in erows], dtype=np.int64),
+            "preds": [e["pred"] for e in erows],
+            "vars": [e["variable"] for e in erows],
+        }
+        self.cache[key] = tmpl
         if len(self.cache) > self.cache_size:
             self.cache.popitem(last=False)
-        return root, overlays
+        return tmpl
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # Accept detect_fragments' tagged union directly: upstream reject
         # rows pass through unchanged; `doc` rows become FILE nodes (one
         # per url — FileCreationPass analog with zero extra passes);
         # fragment rows get parsed.
+        import numpy as np
+
         passthrough_rejects: list[dict] = []
         file_rows: list[dict] = []
         if "row_kind" in batch.column_names:
@@ -145,12 +184,7 @@ class ParseFragments:
 
             rej = batch.filter(pc.equal(batch.column("row_kind"), "reject"))
             passthrough_rejects = [
-                {
-                    "url": u,
-                    "fragment_idx": i,
-                    "stage": s,
-                    "reason": r,
-                }
+                {"url": u, "fragment_idx": i, "stage": s, "reason": r}
                 for u, i, s, r in zip(
                     rej.column("url").to_pylist(),
                     rej.column("fragment_idx").to_pylist(),
@@ -179,8 +213,16 @@ class ParseFragments:
         langs = batch.column("frag_lang").to_pylist()
         codes = batch.column("code").to_pylist()
         hashes = batch.column("content_hash").to_pylist()
-        node_rows: list[dict] = file_rows
-        edge_rows: list[dict] = []
+        # columnar accumulators
+        acc: dict[str, list] = {c: [] for c in self._TMPL_COLS}
+        acc_id: list[np.ndarray] = []
+        acc_url: list[str] = []
+        acc_idx: list[int] = []
+        acc_counts: list[int] = []
+        e_subj: list[np.ndarray] = []
+        e_obj: list[np.ndarray] = []
+        e_pred: list[str] = []
+        e_var: list = []
         reject_rows: list[dict] = passthrough_rejects
         for url, idx, lang, code, chash in zip(urls, idxs, langs, codes, hashes):
             if lang not in self.parsers:
@@ -193,8 +235,8 @@ class ParseFragments:
                     }
                 )
                 continue
-            parsed = self._parse_one(code, lang, chash, url, idx)
-            if parsed is None:
+            tmpl = self._template(code, lang, chash)
+            if tmpl is None:
                 reject_rows.append(
                     {
                         "url": url,
@@ -204,13 +246,78 @@ class ParseFragments:
                     }
                 )
                 continue
-            root, overlays = parsed
-            nrows, erows = flatten(root, url, idx, lang)
-            node_rows.extend(nrows)
-            edge_rows.extend(erows)
-            # overlay edges reference PNodes whose ids flatten() just set
-            for a, pred, b, var in overlays:
-                edge_rows.append(
-                    {"subj": a.id, "pred": pred, "obj": b.id, "variable": var}
+            n = tmpl["n"]
+            ids = node_ids(url, idx, n)
+            acc_id.append(ids)
+            acc_url.append(url)
+            acc_idx.append(idx)
+            acc_counts.append(n)
+            frag_key = f"{url}#{idx}"
+            for c, vals in tmpl["node_cols"].items():
+                si = tmpl["subst_idx"].get(c)
+                if si:
+                    vals = list(vals)
+                    for i in si:
+                        vals[i] = vals[i].replace(self._SENT_KEY, frag_key)
+                acc[c].extend(vals)
+            e_subj.append(ids[tmpl["subj_seq"]])
+            e_obj.append(ids[tmpl["obj_seq"]])
+            e_pred.extend(tmpl["preds"])
+            e_var.extend(tmpl["vars"])
+        # assemble node table columns
+        n_nodes = sum(acc_counts)
+        node_cols: dict[str, pa.Array] = {}
+        if n_nodes or file_rows:
+            id_arr = (
+                np.concatenate(acc_id) if acc_id else np.empty(0, dtype=np.uint64)
+            )
+            url_col: list[str] = []
+            idx_col: list[int] = []
+            for u, i, c in zip(acc_url, acc_idx, acc_counts):
+                url_col.extend([u] * c)
+                idx_col.extend([i] * c)
+            node_cols["id"] = pa.concat_arrays(
+                [
+                    pa.array(id_arr, pa.uint64()),
+                    pa.array([r["id"] for r in file_rows], pa.uint64()),
+                ]
+            )
+            for c in self._TMPL_COLS:
+                typ = NODES_SCHEMA.field(c).type
+                node_cols[c] = pa.concat_arrays(
+                    [
+                        pa.array(acc[c], typ),
+                        pa.array([r.get(c) for r in file_rows], typ),
+                    ]
                 )
-        return make_union_table(node_rows, edge_rows, reject_rows)
+            node_cols["url"] = pa.concat_arrays(
+                [
+                    pa.array(url_col, pa.string()),
+                    pa.array([r["url"] for r in file_rows], pa.string()),
+                ]
+            )
+            node_cols["fragment_idx"] = pa.concat_arrays(
+                [
+                    pa.array(idx_col, pa.int32()),
+                    pa.nulls(len(file_rows), pa.int32()),
+                ]
+            )
+        nt = (
+            pa.table({c: node_cols[c] for c in NODES_SCHEMA.names}, schema=NODES_SCHEMA)
+            if node_cols
+            else NODES_SCHEMA.empty_table()
+        )
+        et = (
+            pa.table(
+                {
+                    "subj": pa.array(np.concatenate(e_subj), pa.uint64()),
+                    "pred": pa.array(e_pred, pa.string()),
+                    "obj": pa.array(np.concatenate(e_obj), pa.uint64()),
+                    "variable": pa.array(e_var, pa.string()),
+                },
+                schema=EDGES_SCHEMA,
+            )
+            if e_subj
+            else EDGES_SCHEMA.empty_table()
+        )
+        return make_union_from_tables(nt, et, rows_to_table(reject_rows, REJECTS_SCHEMA))

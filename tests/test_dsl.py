@@ -96,3 +96,20 @@ def test_reachable_by(cpg):
     sources = cpg.call().code("r = helper")
     hits = ret_uses.reachable_by(sources).l(["label", "code"])
     assert hits.num_rows >= 1
+
+
+def test_call_return_type_recovery(cpg, ray_session):
+    """Resolved calls get EVAL_TYPE to the callee's return type
+    (cross-document type recovery, XTypeRecovery analog)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from joern_ray.stages.link import type_id
+
+    call_ids = set(cpg.call("^helper$").l(["id"]).column("id").to_pylist())
+    edges = pa.concat_tables(
+        list(cpg.edges_ds().iter_batches(batch_format="pyarrow"))
+    )
+    ev = edges.filter(pc.equal(edges.column("pred"), "EVAL_TYPE"))
+    pairs = set(zip(ev.column("subj").to_pylist(), ev.column("obj").to_pylist()))
+    assert any((cid, type_id("int")) in pairs for cid in call_ids)
