@@ -14,12 +14,11 @@ def entry() -> Any:
     """Flagship pipeline: deterministic webtext corpus (sf0.001 scale) →
     full CPG build (parse + overlays + linking + partitioned write) →
     returns the final edges Dataset."""
-    import ray.data
-
+    from joern_ray.pipelines.cpg import read_edges
     from joern_ray.pipelines.queries import _cpg_paths
 
     res = _cpg_paths("/root/testdata/sf0.001")
-    return ray.data.read_parquet(res["edges_path"])
+    return read_edges(res["out_dir"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

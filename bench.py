@@ -92,9 +92,20 @@ def run_cpg_build(num_cpus: int) -> dict:
         num_partitions=32,
     )
     wall = time.perf_counter() - t0
+    from joern_ray.io.checkpoint import _footer_row_count
+
     nodes_manifest = json.load(open(os.path.join(res["nodes_path"], "_manifest.json")))
-    edges_manifest = json.load(open(os.path.join(res["edges_path"], "_manifest.json")))
-    n_rows = nodes_manifest["total_rows"] + edges_manifest["total_rows"]
+    linked_manifest = json.load(
+        open(os.path.join(res["edges_linked_path"], "_manifest.json"))
+    )
+    parse_edge_rows, _ = _footer_row_count(
+        os.path.join(res["parse_path"], "row_kind=edge")
+    )
+    n_rows = (
+        nodes_manifest["total_rows"]
+        + linked_manifest["total_rows"]
+        + parse_edge_rows
+    )
     return {
         "sec": wall,
         "rows": n_rows,

@@ -103,8 +103,10 @@ def cmd_export(args) -> int:
     import ray.data
 
     _ray_init(args.num_cpus)
+    from .pipelines.cpg import read_edges
+
     nodes = ray.data.read_parquet(f"{args.cpg}/nodes")
-    edges = ray.data.read_parquet(f"{args.cpg}/edges")
+    edges = read_edges(args.cpg)
     if args.format == "neo4jcsv":
         from .io.export import export_neo4j_csv
 

@@ -75,32 +75,40 @@ def write_manifest(
     return m
 
 
-def checkpoint(ds_factory, path: str, stage: str, fingerprint: str):
+def checkpoint(ds_factory, path: str, stage: str, fingerprint: str, partition_cols=None):
     """Run `ds_factory()` and write its Dataset to `path` unless a valid
     manifest already covers it; return a Dataset read back from disk.
 
     Reading back (rather than reusing the in-memory Dataset) makes every
     downstream branch consume Parquet instead of re-executing lineage —
     the fix for Ray Data re-running upstream stages once per consumer.
+    `partition_cols` hive-partitions the checkpoint (e.g. by row_kind) so
+    consumers of one kind scan only that kind's files.
     """
+    import shutil as _shutil
+
     import ray.data
 
     if not manifest_matches(path, fingerprint):
         t0 = time.perf_counter()
-        if os.path.isdir(path):  # stale/partial output: clear data files
-            for f in os.listdir(path):
-                if f.endswith(".parquet"):
-                    os.remove(os.path.join(path, f))
-            mp = manifest_path(path)
-            if os.path.exists(mp):
-                os.remove(mp)
+        if os.path.isdir(path):  # stale/partial output: clear it
+            _shutil.rmtree(path)
         ds = ds_factory()
-        ds.write_parquet(path)
+        if partition_cols:
+            ds.write_parquet(path, partition_cols=partition_cols)
+        else:
+            ds.write_parquet(path)
         write_manifest(path, stage, fingerprint, time.perf_counter() - t0)
     return ray.data.read_parquet(path)
 
 
-def partitioned_write(ds, path: str, stage: str, fingerprint: str, num_partitions: int = 64):
+def partitioned_write(
+    ds,
+    path: str,
+    stage: str,
+    fingerprint: str,
+    num_partitions: int = 64,
+):
     """Final materialization: `part = hash-id % P` → groupby("part") →
     one sorted Parquet file + manifest per partition.
 
@@ -156,7 +164,18 @@ def partitioned_write(ds, path: str, stage: str, fingerprint: str, num_partition
     # object store and spill under pressure.  Then coalesce: the sort's
     # cost scales with block COUNT, not bytes (observed 35s over 708
     # tiny union-produced blocks vs 2s over 160) — repartition first.
+    import sys
+
+    _prof = os.environ.get("JOERN_RAY_PROFILE")
+    _tm = time.perf_counter()
     tagged = ds.map_batches(add_part, batch_format="pyarrow").materialize()
+    if _prof:
+        print(
+            f"[partitioned_write:{stage}] materialize: {time.perf_counter() - _tm:.2f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+        _tm = time.perf_counter()
     if tagged.num_blocks() > 2 * num_partitions:
         tagged = tagged.repartition(num_partitions)
     written = tagged.groupby("part").map_groups(write_group, batch_format="pyarrow")
@@ -164,6 +183,12 @@ def partitioned_write(ds, path: str, stage: str, fingerprint: str, num_partition
     for b in written.iter_batches(batch_format="pyarrow"):
         for p, r in zip(b.column("part").to_pylist(), b.column("rows").to_pylist()):
             parts_written[p] = r
+    if _prof:
+        print(
+            f"[partitioned_write:{stage}] shuffle+write: {time.perf_counter() - _tm:.2f}s",
+            file=sys.stderr,
+            flush=True,
+        )
     wall = time.perf_counter() - t0
     total = 0
     for p in sorted(parts_written):

@@ -50,17 +50,53 @@ from ..stages.parse import ParseFragments
 
 _KEEP = {
     "node": list(NODES_SCHEMA.names),
+    "mtnode": list(NODES_SCHEMA.names),
     "edge": list(EDGES_SCHEMA.names),
     "reject": list(REJECTS_SCHEMA.names),
+    "survey": ["skind", "skey", "sc"],
 }
 
 
+def edges_paths(out_dir: str) -> list[str]:
+    """The final edges table is LOGICALLY one partitioned table over two
+    physical roots: parse-time AST/overlay edges (already hive-partitioned
+    by part at parse — never re-shuffled) + the linker-derived edges
+    (partition-written after linking).  Returns the concrete parquet file
+    list (read_parquet accepts files, not directory lists)."""
+    roots = [
+        os.path.join(out_dir, "edges"),
+        os.path.join(out_dir, "parse", "row_kind=edge"),
+    ]
+    files: list[str] = []
+    for root in roots:
+        for dirpath, _dirs, names in os.walk(root):
+            files.extend(
+                os.path.join(dirpath, f) for f in names if f.endswith(".parquet")
+            )
+    return sorted(files)
+
+
+def read_edges(out_dir: str, columns: list[str] | None = None):
+    """Read the full edge set (both physical roots) with a fixed column
+    projection so mixed physical schemas unify."""
+    import ray.data
+
+    return ray.data.read_parquet(
+        edges_paths(out_dir), columns=columns or list(EDGES_SCHEMA.names)
+    )
+
+
 def read_union_split(path: str, kind: str):
-    """Column-pruned read of one row_kind from a union checkpoint: only
-    the kind's columns (+ discriminator) leave the Parquet reader."""
+    """Read one row_kind from a union checkpoint.  The checkpoint is
+    hive-partitioned by row_kind, so this scans ONLY that kind's files
+    and decodes only its columns; falls back to filter for un-partitioned
+    checkpoints (older layouts)."""
     import ray.data
 
     keep = _KEEP[kind]
+    sub = os.path.join(path, f"row_kind={kind}")
+    if os.path.isdir(sub):
+        return ray.data.read_parquet(sub, columns=keep)
     ds = ray.data.read_parquet(path, columns=keep + ["row_kind"])
 
     def _f(batch: pa.Table) -> pa.Table:
@@ -88,79 +124,6 @@ class KeySetSplit:
         if self.invert:
             mask = pc.invert(mask)
         return batch.filter(mask)
-
-
-def _survey(nodes_ds) -> dict:
-    """ONE execution: per-batch tagged partial counts/distincts →
-    groupby(kind,key).sum → driver dicts.
-
-    kinds: 'm' METHOD full_names (count), 'td' TYPE_DECL full_names
-    (count), 'ty' type fqns (exploded; distinct), 'ns' namespace names
-    (distinct), 'ca' CALL/METHOD_REF method_full_names (distinct)."""
-    # materialize the (tiny) partials so the groupby's boundary-sampling
-    # pass doesn't re-execute the full node scan a second time
-    partials = nodes_ds.map_batches(_survey_partial, batch_format="pyarrow").materialize()
-    agg = partials.groupby(["kind", "key"]).sum("c")
-    out: dict[str, dict[str, int]] = {"m": {}, "td": {}, "ty": {}, "ns": {}, "ca": {}}
-    for b in agg.iter_batches(batch_format="pyarrow"):
-        for k, key, c in zip(
-            b.column("kind").to_pylist(),
-            b.column("key").to_pylist(),
-            b.column("sum(c)").to_pylist(),
-        ):
-            out[k][key] = c
-    return out
-
-
-def _survey_partial(batch: pa.Table) -> pa.Table:
-        ks, keys, cs = [], [], []
-        labels = batch.column("label")
-        for kind, lab in (("m", "METHOD"), ("td", "TYPE_DECL")):
-            vc = batch.filter(pc.equal(labels, lab)).column("full_name").value_counts()
-            vals = vc.field("values").to_pylist()
-            cnts = vc.field("counts").to_pylist()
-            for v, c in zip(vals, cnts):
-                if v:
-                    ks.append(kind)
-                    keys.append(v)
-                    cs.append(c)
-        # distinct type fqns: unique over the filtered column (vectorized),
-        # then a tiny loop over uniques only for the ;-explode
-        tfn = pc.coalesce(batch.column("type_full_name"), pa.scalar(""))
-        nonempty = batch.filter(pc.not_equal(tfn, ""))
-        td_mask = pc.equal(nonempty.column("label"), "TYPE_DECL")
-        tvals: set = set(
-            pc.unique(nonempty.filter(pc.invert(td_mask)).column("type_full_name")).to_pylist()
-        )
-        for v in pc.unique(nonempty.filter(td_mask).column("type_full_name")).to_pylist():
-            tvals.update(p for p in v.split(";") if p)
-        for v in tvals:
-            if v:
-                ks.append("ty")
-                keys.append(v)
-                cs.append(1)
-        for v in pc.unique(
-            batch.filter(pc.equal(labels, "NAMESPACE_BLOCK")).column("name")
-        ).to_pylist():
-            if v:
-                ks.append("ns")
-                keys.append(v)
-                cs.append(1)
-        calls = batch.filter(
-            pc.is_in(labels, value_set=pa.array(["CALL", "METHOD_REF"]))
-        ).column("method_full_name")
-        for v in pc.unique(calls).to_pylist():
-            if v:
-                ks.append("ca")
-                keys.append(v)
-                cs.append(1)
-        return pa.table(
-            {
-                "kind": pa.array(ks, pa.string()),
-                "key": pa.array(keys, pa.string()),
-                "c": pa.array(cs, pa.int64()),
-            }
-        )
 
 
 def build_cpg(
@@ -221,7 +184,16 @@ def build_cpg(
             concurrency=eff_parse_concurrency,
         )
 
-    checkpoint(parse_pipeline, parse_path, "parse", fingerprint)
+    # partition the checkpoint by row_kind ONLY: adding `part` here would
+    # explode into blocks × kinds × parts tiny files; `part` stays a data
+    # column used by the final partitioned write
+    checkpoint(
+        parse_pipeline,
+        parse_path,
+        "parse",
+        fingerprint,
+        partition_cols=["row_kind"],
+    )
     _mark("parse")
     parse_fp = f"{fingerprint}/parse"
 
@@ -229,96 +201,41 @@ def build_cpg(
         return {
             "out_dir": out_dir,
             "nodes_path": nodes_path,
-            "edges_path": edges_path,
+            "edges_path": edges_paths(out_dir),
+            "edges_linked_path": edges_path,
             "parse_path": parse_path,
             "resumed": True,
         }
 
-    nodes = lambda: read_union_split(parse_path, "node")  # noqa: E731
+    # "node" kind now excludes METHOD/TYPE_DECL rows — they live in their
+    # own mtnode partition (written by the parse stage)
+    nodes_plain = lambda: read_union_split(parse_path, "node")  # noqa: E731
+    mt_ds = lambda: read_union_split(parse_path, "mtnode")  # noqa: E731
 
-    def other_proj():
-        def _f(batch: pa.Table) -> pa.Table:
-            m = pc.is_in(batch.column("label"), value_set=pa.array(["METHOD", "TYPE_DECL"]))
-            return batch.filter(pc.invert(m))
-
-        return nodes().map_batches(_f, batch_format="pyarrow")
-
-    def mt_proj():
-        def _f(batch: pa.Table) -> pa.Table:
-            m = pc.is_in(batch.column("label"), value_set=pa.array(["METHOD", "TYPE_DECL"]))
-            return batch.filter(m)
-
-        return nodes().map_batches(_f, batch_format="pyarrow")
-
-    # ---- stage: survey + mt collect (ONE pass, broadcast regime) ------
-    # Each batch emits its survey partials AND its METHOD/TYPE_DECL rows
-    # in a tagged union; the driver merges partial counters (tiny) and
-    # concatenates mt rows.  Falls back to the distributed survey +
-    # shuffle linking when methods exceed the broadcast budget.
-    mt_parts: list[pa.Table] = []
+    # ---- stage: survey (read the parse-emitted partials — tiny files) -
     sv: dict = {"m": {}, "td": {}, "ty": {}, "ns": {}, "ca": {}}
-    overflow = force_shuffle_link
-    if not force_shuffle_link:
-        mt_cols = list(NODES_SCHEMA.names)
-
-        def merged(batch: pa.Table) -> pa.Table:
-            svt = _survey_partial(batch)
-            m = pc.is_in(batch.column("label"), value_set=pa.array(["METHOD", "TYPE_DECL"]))
-            mt = batch.filter(m)
-            n_s, n_m = svt.num_rows, mt.num_rows
-            cols = {}
-            for name in mt_cols:
-                typ = NODES_SCHEMA.field(name).type
-                cols[name] = pa.concat_arrays(
-                    [pa.nulls(n_s, typ), mt.column(name).combine_chunks().cast(typ)]
-                )
-            cols["kind"] = pa.concat_arrays(
-                [svt.column("kind").combine_chunks(), pa.nulls(n_m, pa.string())]
-            )
-            cols["key"] = pa.concat_arrays(
-                [svt.column("key").combine_chunks(), pa.nulls(n_m, pa.string())]
-            )
-            cols["c"] = pa.concat_arrays(
-                [svt.column("c").combine_chunks(), pa.nulls(n_m, pa.int64())]
-            )
-            return pa.table(cols)
-
-        n_mt_rows = 0
-        for b in nodes().map_batches(merged, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
+    for b in read_union_split(parse_path, "survey").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for k, key, c in zip(
+            b.column("skind").to_pylist(),
+            b.column("skey").to_pylist(),
+            b.column("sc").to_pylist(),
         ):
-            kind_col = b.column("kind")
-            svr = b.filter(kind_col.is_valid())
-            for k, key, c in zip(
-                svr.column("kind").to_pylist(),
-                svr.column("key").to_pylist(),
-                svr.column("c").to_pylist(),
-            ):
-                sv[k][key] = sv[k].get(key, 0) + c
-            mt = b.filter(pc.invert(kind_col.is_valid())).select(mt_cols)
-            if mt.num_rows:
-                n_mt_rows += mt.num_rows
-                if n_mt_rows <= broadcast_limit * 2:
-                    mt_parts.append(mt)
-                else:
-                    overflow = True
-        if len(sv["m"]) > broadcast_limit:
-            overflow = True
-    if overflow:
-        mt_parts = []
-        sv = _survey(nodes())
+            sv[k][key] = sv[k].get(key, 0) + c
     _mark("survey")
     dup_fqns = frozenset(
         k for d in (sv["m"], sv["td"]) for k, c in d.items() if c >= 2
     )
     n_methods = len(sv["m"])
-    use_broadcast = not overflow
+    use_broadcast = (not force_shuffle_link) and n_methods <= broadcast_limit
 
     # ---- stage: link --------------------------------------------------
     link_regime = "broadcast" if use_broadcast else "salted_shuffle"
     if use_broadcast:
         from ..stages.link import canonicalize_table
 
+        mt_parts = list(mt_ds().iter_batches(batch_format="pyarrow"))
         canon_t = (
             canonicalize_table(pa.concat_tables(mt_parts))
             if mt_parts
@@ -352,7 +269,7 @@ def build_cpg(
         # distributed canonicalization: shuffle ONLY rows whose full_name
         # actually collides (dup survey keeps the Sort input tiny)
         dup_ref = ray.put(dup_fqns)
-        mt_unique = mt_proj().map_batches(
+        mt_unique = mt_ds().map_batches(
             KeySetSplit,
             fn_constructor_args=(dup_ref, "full_name", True),
             batch_format="pyarrow",
@@ -360,7 +277,7 @@ def build_cpg(
         )
         if dup_fqns:
             mt_dups = (
-                mt_proj()
+                mt_ds()
                 .map_batches(
                     KeySetSplit,
                     fn_constructor_args=(dup_ref, "full_name", False),
@@ -394,7 +311,7 @@ def build_cpg(
                 )
                 return batch.filter(m).select(["id", "label", "method_full_name"])
 
-            return nodes().map_batches(_f, batch_format="pyarrow")
+            return nodes_plain().map_batches(_f, batch_format="pyarrow")
 
         link_edges = salted(calls_proj())
 
@@ -444,7 +361,7 @@ def build_cpg(
 
     # ---- stage: write (partitioned, per-partition manifests) ----------
     def all_nodes():
-        base = other_proj()
+        base = nodes_plain()
         if canonical_mt_for_write is not None:
             base = base.union(canonical_mt_for_write)
         return base
@@ -480,15 +397,12 @@ def build_cpg(
             linker.ret_types = ret_types
             return linker(batch)
 
-        node_derived_edges = all_nodes().map_batches(_combined, batch_format="pyarrow")
-        final_edges = read_union_split(parse_path, "edge").union(node_derived_edges)
+        final_edges = all_nodes().map_batches(_combined, batch_format="pyarrow")
     else:
         mapside_edges = all_nodes().map_batches(
             mapside_link_edges, batch_format="pyarrow"
         )
-        final_edges = read_union_split(parse_path, "edge").union(
-            link_edges, mapside_edges
-        )
+        final_edges = link_edges.union(mapside_edges)
     final_nodes = all_nodes().union(dims_ds)
 
     # the two writes are independent — run them concurrently so their
@@ -515,7 +429,8 @@ def build_cpg(
     return {
         "out_dir": out_dir,
         "nodes_path": nodes_path,
-        "edges_path": edges_path,
+        "edges_path": edges_paths(out_dir),
+        "edges_linked_path": edges_path,
         "parse_path": parse_path,
         "link_regime": link_regime,
         "n_methods": n_methods,

@@ -33,16 +33,34 @@ from ..parsing.astmodel import flatten
 from ..parsing.parser import FragmentParser, ParseError
 from ..schemas import EDGES_SCHEMA, NODES_SCHEMA, REJECTS_SCHEMA, rows_to_table
 
-# Union layout: nodes cols ∪ edges cols ∪ reject cols + row_kind.
+# Union layout: nodes cols ∪ edges cols ∪ reject cols + row_kind + part.
+# `part` is the output-partition key assigned AT PARSE TIME (id %% P for
+# nodes, subj %% P for edges) so the checkpoint is hive-partitioned by
+# (row_kind, part) and the final edge layout can reuse the files with no
+# re-shuffle.
+NUM_PARTS_DEFAULT = 32
+
 UNION_SCHEMA = pa.schema(
     [
         *NODES_SCHEMA,
         *[f for f in EDGES_SCHEMA],
         pa.field("stage", pa.string()),
         pa.field("reason", pa.string()),
+        # survey partial columns (row_kind="survey"): the per-batch
+        # combiner output (SURVEY kinds m/td/ty/ns/ca) rides in the
+        # checkpoint so the link stage never re-scans the node stream
+        pa.field("skind", pa.string()),
+        pa.field("skey", pa.string()),
+        pa.field("sc", pa.int64()),
         pa.field("row_kind", pa.string()),
+        pa.field("part", pa.int32()),
     ]
 )
+
+# METHOD/TYPE_DECL rows get their own row_kind so the canonicalization
+# collect reads a small dedicated hive dir instead of filtering the
+# full node stream.
+MT_LABELS = ("METHOD", "TYPE_DECL")
 
 
 def make_union_table(
@@ -55,31 +73,76 @@ def make_union_table(
     )
 
 
-def make_union_from_tables(nt: pa.Table, et: pa.Table, rt: pa.Table) -> pa.Table:
-    n_n, n_e, n_r = nt.num_rows, et.num_rows, rt.num_rows
+def make_union_from_tables(
+    nt: pa.Table, et: pa.Table, rt: pa.Table, svt: "pa.Table | None" = None
+) -> pa.Table:
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if svt is None:
+        from ..stages.survey import survey_partial
+
+        svt = survey_partial(nt)
+    # split nodes into plain vs METHOD/TYPE_DECL (own row_kind)
+    mt_mask = pc.is_in(nt.column("label"), value_set=pa.array(list(MT_LABELS)))
+    mt = nt.filter(mt_mask)
+    plain = nt.filter(pc.invert(mt_mask))
+    n_p, n_m, n_e, n_r, n_s = (
+        plain.num_rows,
+        mt.num_rows,
+        et.num_rows,
+        rt.num_rows,
+        svt.num_rows,
+    )
     cols: dict[str, pa.ChunkedArray | pa.Array] = {}
     for name in NODES_SCHEMA.names:
         typ = NODES_SCHEMA.field(name).type
-        pieces = [nt.column(name).combine_chunks()]
+        pieces = [
+            plain.column(name).combine_chunks(),
+            mt.column(name).combine_chunks(),
+        ]
         if name == "url":  # rejects carry url too
-            pieces += [pa.nulls(n_e, typ), rt.column("url").combine_chunks()]
+            pieces += [pa.nulls(n_e, typ), rt.column("url").combine_chunks(), pa.nulls(n_s, typ)]
         elif name == "fragment_idx":
-            pieces += [pa.nulls(n_e, typ), rt.column("fragment_idx").combine_chunks()]
+            pieces += [pa.nulls(n_e, typ), rt.column("fragment_idx").combine_chunks(), pa.nulls(n_s, typ)]
         else:
-            pieces.append(pa.nulls(n_e + n_r, typ))
+            pieces.append(pa.nulls(n_e + n_r + n_s, typ))
         cols[name] = pa.concat_arrays(pieces)
     for name in EDGES_SCHEMA.names:
         typ = EDGES_SCHEMA.field(name).type
         cols[name] = pa.concat_arrays(
-            [pa.nulls(n_n, typ), et.column(name).combine_chunks(), pa.nulls(n_r, typ)]
+            [
+                pa.nulls(n_p + n_m, typ),
+                et.column(name).combine_chunks(),
+                pa.nulls(n_r + n_s, typ),
+            ]
         )
     for name in ("stage", "reason"):
         typ = REJECTS_SCHEMA.field(name).type
         cols[name] = pa.concat_arrays(
-            [pa.nulls(n_n + n_e, typ), rt.column(name).combine_chunks()]
+            [pa.nulls(n_p + n_m + n_e, typ), rt.column(name).combine_chunks(), pa.nulls(n_s, typ)]
         )
+    for sname, styp in (("skind", pa.string()), ("skey", pa.string()), ("sc", pa.int64())):
+        src = svt.column({"skind": "kind", "skey": "key", "sc": "c"}[sname]).combine_chunks()
+        cols[sname] = pa.concat_arrays([pa.nulls(n_p + n_m + n_e + n_r, styp), src])
     cols["row_kind"] = pa.array(
-        ["node"] * n_n + ["edge"] * n_e + ["reject"] * n_r, pa.string()
+        ["node"] * n_p + ["mtnode"] * n_m + ["edge"] * n_e + ["reject"] * n_r + ["survey"] * n_s,
+        pa.string(),
+    )
+
+    def _part_of(t: pa.Table, col: str) -> np.ndarray:
+        return (
+            t.column(col).combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(NUM_PARTS_DEFAULT)
+        ).astype(np.int32)
+
+    cols["part"] = pa.concat_arrays(
+        [
+            pa.array(_part_of(plain, "id"), pa.int32()),
+            pa.array(_part_of(mt, "id"), pa.int32()),
+            pa.array(_part_of(et, "subj"), pa.int32()),
+            pa.array([0] * (n_r + n_s), pa.int32()),
+        ]
     )
     return pa.table(cols, schema=UNION_SCHEMA)
 

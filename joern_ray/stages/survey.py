@@ -1,0 +1,66 @@
+"""Per-batch survey combiner — the accumulator pattern (reference
+`AstCreationPass.scala:27-72`: per-part partial accumulators merged
+associatively).
+
+`survey_partial` turns one node batch into tagged partial rows:
+  'm'  METHOD full_name counts     (dup detection + broadcast sizing)
+  'td' TYPE_DECL full_name counts  (dup detection)
+  'ty' distinct type fqns (;-exploded — TypeNodePass union semantics)
+  'ns' distinct namespace-block names
+  'ca' distinct CALL/METHOD_REF method_full_names (stub derivation)
+
+The parse stage emits these rows INTO its checkpoint (row_kind=survey),
+so the link stage reads a few tiny files instead of re-scanning the node
+stream."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def survey_partial(batch: pa.Table) -> pa.Table:
+    ks, keys, cs = [], [], []
+    labels = batch.column("label")
+    for kind, lab in (("m", "METHOD"), ("td", "TYPE_DECL")):
+        vc = batch.filter(pc.equal(labels, lab)).column("full_name").value_counts()
+        for v, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
+            if v:
+                ks.append(kind)
+                keys.append(v)
+                cs.append(c)
+    tfn = pc.coalesce(batch.column("type_full_name"), pa.scalar(""))
+    nonempty = batch.filter(pc.not_equal(tfn, ""))
+    td_mask = pc.equal(nonempty.column("label"), "TYPE_DECL")
+    tvals: set = set(
+        pc.unique(nonempty.filter(pc.invert(td_mask)).column("type_full_name")).to_pylist()
+    )
+    for v in pc.unique(nonempty.filter(td_mask).column("type_full_name")).to_pylist():
+        tvals.update(p for p in v.split(";") if p)
+    for v in tvals:
+        if v:
+            ks.append("ty")
+            keys.append(v)
+            cs.append(1)
+    for v in pc.unique(
+        batch.filter(pc.equal(labels, "NAMESPACE_BLOCK")).column("name")
+    ).to_pylist():
+        if v:
+            ks.append("ns")
+            keys.append(v)
+            cs.append(1)
+    calls = batch.filter(
+        pc.is_in(labels, value_set=pa.array(["CALL", "METHOD_REF"]))
+    ).column("method_full_name")
+    for v in pc.unique(calls).to_pylist():
+        if v:
+            ks.append("ca")
+            keys.append(v)
+            cs.append(1)
+    return pa.table(
+        {
+            "kind": pa.array(ks, pa.string()),
+            "key": pa.array(keys, pa.string()),
+            "c": pa.array(cs, pa.int64()),
+        }
+    )

@@ -127,9 +127,11 @@ def test_neo4j_csv_export(ray_session, uaf_cpg):
     from joern_ray.io.export import export_neo4j_csv
 
     out_dir = os.path.join(OUT, "neo4j")
+    from joern_ray.pipelines.cpg import read_edges
+
     res = export_neo4j_csv(
         ray.data.read_parquet(uaf_cpg["nodes_path"]),
-        ray.data.read_parquet(uaf_cpg["edges_path"]),
+        read_edges(uaf_cpg["out_dir"]),
         out_dir,
     )
     node_files = os.listdir(res["nodes"])
@@ -147,7 +149,11 @@ def test_graphml_and_sarif(ray_session, uaf_cpg):
         list(ray.data.read_parquet(uaf_cpg["nodes_path"]).iter_batches(batch_format="pyarrow"))
     )
     edges = pa.concat_tables(
-        list(ray.data.read_parquet(uaf_cpg["edges_path"]).iter_batches(batch_format="pyarrow"))
+        list(
+            ray.data.read_parquet(
+                uaf_cpg["edges_path"], columns=["subj", "pred", "obj", "variable"]
+            ).iter_batches(batch_format="pyarrow")
+        )
     )
     gpath = export_graphml(nodes, edges, os.path.join(OUT, "g.graphml"))
     content = open(gpath).read()
@@ -199,7 +205,11 @@ def test_inherits_from_edges(ray_session):
 
     res = build_cpg(docs_factory, out, "j-1", num_partitions=2, parse_concurrency=1)
     edges = pa.concat_tables(
-        list(ray.data.read_parquet(res["edges_path"]).iter_batches(batch_format="pyarrow"))
+        list(
+            ray.data.read_parquet(
+                res["edges_path"], columns=["subj", "pred", "obj", "variable"]
+            ).iter_batches(batch_format="pyarrow")
+        )
     )
     inh = edges.filter(pc.equal(edges.column("pred"), "INHERITS_FROM"))
     assert inh.num_rows == 1

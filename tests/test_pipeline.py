@@ -34,11 +34,15 @@ def cpg(ray_session):
     yield res
 
 
-def _read_all(ray_session, path):
+def _read_all(ray_session, path, columns=None):
     import ray.data
 
     t = pa.concat_tables(
-        list(ray.data.read_parquet(path).iter_batches(batch_format="pyarrow"))
+        list(
+            ray.data.read_parquet(path, columns=columns).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
     )
     # parallel read tasks surface batches in nondeterministic order; the
     # on-disk files are deterministic — compare in sorted order
@@ -48,7 +52,7 @@ def _read_all(ray_session, path):
 
 def test_pipeline_produces_graph(ray_session, cpg):
     nodes = _read_all(ray_session, cpg["nodes_path"])
-    edges = _read_all(ray_session, cpg["edges_path"])
+    edges = _read_all(ray_session, cpg["edges_path"], columns=["subj", "pred", "obj", "variable"])
     assert nodes.num_rows > 1000 and edges.num_rows > 5000
     labels = set(nodes.column("label").to_pylist())
     assert {"METHOD", "CALL", "IDENTIFIER", "LITERAL", "FILE", "TYPE", "NAMESPACE"} <= labels
@@ -64,7 +68,7 @@ def test_node_ids_unique(ray_session, cpg):
 
 def test_every_call_linked(ray_session, cpg):
     nodes = _read_all(ray_session, cpg["nodes_path"])
-    edges = _read_all(ray_session, cpg["edges_path"])
+    edges = _read_all(ray_session, cpg["edges_path"], columns=["subj", "pred", "obj", "variable"])
     calls = nodes.filter(pc.equal(nodes.column("label"), "CALL"))
     call_edges = edges.filter(pc.equal(edges.column("pred"), "CALL"))
     # every CALL node has exactly one outgoing CALL edge (to method or stub)
@@ -75,7 +79,7 @@ def test_every_call_linked(ray_session, cpg):
 
 
 def test_manifests_written(cpg):
-    for p in (cpg["nodes_path"], cpg["edges_path"]):
+    for p in (cpg["nodes_path"], cpg["edges_linked_path"]):
         assert os.path.exists(os.path.join(p, "_manifest.json"))
         parts = [d for d in os.listdir(p) if d.startswith("part=")]
         assert parts
@@ -130,7 +134,9 @@ def test_golden_f1_triples(ray_session):
     batch = pa.table({"url": ["https://g/1"], "html": [GOLDEN_DOC.encode()]})
     frags = detect_fragments_batch(batch)
     out = ParseFragments()(frags)
-    nodes = out.filter(pc.equal(out.column("row_kind"), "node"))
+    nodes = out.filter(
+        pc.is_in(out.column("row_kind"), value_set=pa.array(["node", "mtnode"]))
+    )
     edges = out.filter(pc.equal(out.column("row_kind"), "edge"))
     # link calls driver-side: name -> method id
     midx = {
