@@ -90,6 +90,7 @@ def run_cpg_build(num_cpus: int) -> dict:
         out,
         f"bench-{n}",
         num_partitions=32,
+        force_shuffle_link=bool(os.environ.get("JOERN_RAY_FORCE_SHUFFLE")),
     )
     wall = time.perf_counter() - t0
     from joern_ray.io.checkpoint import _footer_row_count

@@ -213,16 +213,21 @@ def build_cpg(
     mt_ds = lambda: read_union_split(parse_path, "mtnode")  # noqa: E731
 
     # ---- stage: survey (read the parse-emitted partials — tiny files) -
+    import polars as pl
+
     sv: dict = {"m": {}, "td": {}, "ty": {}, "ns": {}, "ca": {}}
-    for b in read_union_split(parse_path, "survey").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for k, key, c in zip(
-            b.column("skind").to_pylist(),
-            b.column("skey").to_pylist(),
-            b.column("sc").to_pylist(),
-        ):
-            sv[k][key] = sv[k].get(key, 0) + c
+    sv_parts = list(
+        read_union_split(parse_path, "survey").iter_batches(batch_format="pyarrow")
+    )
+    if sv_parts:
+        svdf = (
+            pl.from_arrow(pa.concat_tables(sv_parts))
+            .group_by(["skind", "skey"])
+            .agg(pl.col("sc").sum())
+        )
+        for k in sv:
+            sub = svdf.filter(pl.col("skind") == k)
+            sv[k] = dict(zip(sub["skey"].to_list(), sub["sc"].to_list()))
     _mark("survey")
     dup_fqns = frozenset(
         k for d in (sv["m"], sv["td"]) for k, c in d.items() if c >= 2

@@ -501,71 +501,137 @@ def salted_call_link(facts_ds, methods_ds, hot_keys: set[str], n_salts: int = 16
     """
 
     def tag_facts(batch: pa.Table) -> pa.Table:
-        labels = batch.column("label").to_pylist()
-        ids = batch.column("id").to_pylist()
-        fqns = batch.column("method_full_name").to_pylist()
-        rows = []
-        for lab, nid, fqn in zip(labels, ids, fqns):
-            if not fqn or lab not in ("CALL", "METHOD_REF"):
-                continue
-            salt = (nid % n_salts) if fqn in hot_keys else 0
-            rows.append(
-                {"key": f"{fqn}\x1f{salt}", "side": "F", "nid": nid, "lab": lab, "fqn": fqn}
+        """Vectorized: salt only hot keys; key = fqn + US + salt."""
+        import numpy as np
+        import polars as pl
+
+        m = pc.and_(
+            pc.is_in(batch.column("label"), value_set=pa.array(["CALL", "METHOD_REF"])),
+            pc.not_equal(pc.coalesce(batch.column("method_full_name"), pa.scalar("")), ""),
+        )
+        b = batch.filter(m)
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.string()),
+                    "side": pa.array([], pa.string()),
+                    "nid": pa.array([], pa.uint64()),
+                    "lab": pa.array([], pa.string()),
+                    "fqn": pa.array([], pa.string()),
+                }
             )
+        fqn = b.column("method_full_name").combine_chunks()
+        nid = b.column("nid").to_numpy(zero_copy_only=False) if "nid" in b.column_names else b.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        hot_mask = pc.is_in(fqn, value_set=pa.array(sorted(hot_keys) or ["\x00none"]))
+        salt = np.where(
+            hot_mask.to_numpy(zero_copy_only=False),
+            nid.astype(np.uint64) % np.uint64(n_salts),
+            np.uint64(0),
+        )
+        df = pl.DataFrame(
+            {
+                "fqn": pl.from_arrow(fqn),
+                "salt": salt.astype(np.int64),
+            }
+        )
+        key = df.select(
+            (pl.col("fqn") + pl.lit("\x1f") + pl.col("salt").cast(pl.Utf8)).alias("k")
+        )["k"].to_arrow()
         return pa.table(
             {
-                "key": pa.array([r["key"] for r in rows], pa.string()),
-                "side": pa.array([r["side"] for r in rows], pa.string()),
-                "nid": pa.array([r["nid"] for r in rows], pa.uint64()),
-                "lab": pa.array([r["lab"] for r in rows], pa.string()),
-                "fqn": pa.array([r["fqn"] for r in rows], pa.string()),
+                "key": key.cast(pa.string()),
+                "side": pa.array(["F"] * b.num_rows, pa.string()),
+                "nid": pa.array(nid.astype(np.uint64), pa.uint64()),
+                "lab": b.column("label").combine_chunks(),
+                "fqn": fqn,
             }
         )
 
     def tag_dims(batch: pa.Table) -> pa.Table:
-        mask = pc.equal(batch.column("label"), "METHOD")
-        b = batch.filter(mask)
-        fqns = b.column("full_name").to_pylist()
-        ids = b.column("id").to_pylist()
-        keys, sides, nids, labs, fq = [], [], [], [], []
-        for fqn, nid in zip(fqns, ids):
-            salts = range(n_salts) if fqn in hot_keys else (0,)
-            for s in salts:
-                keys.append(f"{fqn}\x1f{s}")
-                sides.append("D")
-                nids.append(nid)
-                labs.append("METHOD")
-                fq.append(fqn)
+        """Hot-key dimension rows replicate to every salt (vectorized for
+        the cold majority; python loop only over hot dims)."""
+        import numpy as np
+        import polars as pl
+
+        b = batch.filter(pc.equal(batch.column("label"), "METHOD"))
+        fqn = b.column("full_name").combine_chunks()
+        nid = b.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        hot_mask_arr = pc.is_in(fqn, value_set=pa.array(sorted(hot_keys) or ["\x00none"]))
+        hm = hot_mask_arr.to_numpy(zero_copy_only=False)
+        cold = b.filter(pc.invert(hot_mask_arr))
+        cold_fqn = cold.column("full_name").combine_chunks()
+        keys = [
+            pl.DataFrame({"fqn": pl.from_arrow(cold_fqn)})
+            .select((pl.col("fqn") + pl.lit("\x1f0")).alias("k"))["k"]
+            .to_arrow()
+            .cast(pa.string())
+        ]
+        nids = [cold.column("id").combine_chunks().cast(pa.uint64())]
+        fqs = [cold_fqn]
+        hot_fqn = fqn.to_pylist()
+        k2, n2, f2 = [], [], []
+        for i in np.nonzero(hm)[0]:
+            for s_ in range(n_salts):
+                k2.append(f"{hot_fqn[i]}\x1f{s_}")
+                n2.append(int(nid[i]))
+                f2.append(hot_fqn[i])
+        if k2:
+            keys.append(pa.array(k2, pa.string()))
+            nids.append(pa.array(n2, pa.uint64()))
+            fqs.append(pa.array(f2, pa.string()))
+        key_col = pa.concat_arrays(keys)
+        n_total = len(key_col)
         return pa.table(
             {
-                "key": pa.array(keys, pa.string()),
-                "side": pa.array(sides, pa.string()),
-                "nid": pa.array(nids, pa.uint64()),
-                "lab": pa.array(labs, pa.string()),
-                "fqn": pa.array(fq, pa.string()),
+                "key": key_col,
+                "side": pa.array(["D"] * n_total, pa.string()),
+                "nid": pa.concat_arrays(nids),
+                "lab": pa.array(["METHOD"] * n_total, pa.string()),
+                "fqn": pa.concat_arrays([f.cast(pa.string()) for f in fqs]),
             }
         )
 
     facts = facts_ds.map_batches(tag_facts, batch_format="pyarrow")
     dims = methods_ds.map_batches(tag_dims, batch_format="pyarrow")
-    union = facts.union(dims)
+    # materialize before the groupby: the sort's boundary-sampling pass
+    # would otherwise re-execute the tagged upstream a second time
+    union = facts.union(dims).materialize()
 
     def join_group(batch: pa.Table) -> pa.Table:
-        side = batch.column("side").to_pylist()
-        nids = batch.column("nid").to_pylist()
-        labs = batch.column("lab").to_pylist()
-        fqns = batch.column("fqn").to_pylist()
-        # deterministic canonical dim: min id among dims in group
-        dim_ids = [nids[i] for i in range(len(side)) if side[i] == "D"]
-        tgt = min(dim_ids) if dim_ids else None
-        rows = []
-        for i in range(len(side)):
-            if side[i] != "F":
-                continue
-            obj = tgt if tgt is not None else stub_id(fqns[i])
-            pred = "CALL" if labs[i] == "CALL" else "REF"
-            rows.append({"subj": nids[i], "pred": pred, "obj": obj, "variable": None})
-        return rows_to_table(rows, EDGES_SCHEMA)
+        """Vectorized per-group emit: min dim id (or stub) to all facts."""
+        import numpy as np
+
+        side = batch.column("side")
+        dmask = pc.equal(side, "D")
+        fmask = pc.equal(side, "F")
+        dims_b = batch.filter(dmask)
+        facts_b = batch.filter(fmask)
+        if facts_b.num_rows == 0:
+            return EDGES_SCHEMA.empty_table()
+        if dims_b.num_rows:
+            tgt = int(pc.min(dims_b.column("nid")).as_py())
+            obj = np.full(facts_b.num_rows, tgt, dtype=np.uint64)
+        else:
+            # all facts in a group share the fqn -> one stub id
+            obj = np.full(
+                facts_b.num_rows,
+                stub_id(facts_b.column("fqn")[0].as_py()),
+                dtype=np.uint64,
+            )
+        pred = pc.if_else(
+            pc.equal(facts_b.column("lab"), "CALL"),
+            pa.scalar("CALL"),
+            pa.scalar("REF"),
+        )
+        return pa.table(
+            {
+                "subj": facts_b.column("nid").combine_chunks().cast(pa.uint64()),
+                "pred": pred if isinstance(pred, pa.Array) else pred.combine_chunks(),
+                "obj": pa.array(obj, pa.uint64()),
+                "variable": pa.nulls(facts_b.num_rows, pa.string()),
+            },
+            schema=EDGES_SCHEMA,
+        )
 
     return union.groupby("key").map_groups(join_group, batch_format="pyarrow")
 

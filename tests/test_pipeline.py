@@ -184,3 +184,37 @@ def test_rejects_surface_in_parse_output(ray_session):
     # only the FILE node from the doc passthrough — nothing parsed
     nodes = out.filter(pc.equal(out.column("row_kind"), "node"))
     assert nodes.column("label").to_pylist() == ["FILE"]
+
+
+def test_shuffle_link_regime_matches_broadcast(ray_session):
+    """force_shuffle_link produces the same CALL-edge multiset as the
+    broadcast regime (the two regimes must agree)."""
+    import ray.data
+
+    from joern_ray.pipelines.cpg import build_cpg, read_edges
+
+    out = "/tmp/joern_ray_test_shuffle"
+    shutil.rmtree(out, ignore_errors=True)
+    res = build_cpg(
+        _docs_factory,
+        out,
+        "test-120",
+        num_partitions=4,
+        parse_concurrency=(1, 2),
+        force_shuffle_link=True,
+    )
+    assert res["link_regime"] == "salted_shuffle"
+
+    def call_pairs(out_dir):
+        t = pa.concat_tables(
+            list(
+                read_edges(out_dir, ["subj", "pred", "obj"]).iter_batches(
+                    batch_format="pyarrow"
+                )
+            )
+        )
+        t = t.filter(pc.equal(t.column("pred"), "CALL"))
+        return sorted(zip(t.column("subj").to_pylist(), t.column("obj").to_pylist()))
+
+    # compare against the broadcast build from the module fixture dir
+    assert call_pairs(out) == call_pairs(OUT)
