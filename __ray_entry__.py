@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_nation": q.customers_per_nation,
         "distinct_part_types": q.distinct_part_types,
         "orders_top_by_price": q.orders_top_by_price,
+        "event_type_stats": q.event_type_stats,
+        "suppliers_per_region": q.suppliers_per_region,
         # similarity / dedup / text / multimodal operators
         "embedding_topk": q.embedding_topk,
         "embedding_near_dup_exact": q.embedding_near_dup_exact,
@@ -58,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataflow_malloc_to_free": q.dataflow_malloc_to_free,
         "export_dot_methods": q.export_dot_methods,
         "method_vectors_corpus": q.method_vectors_corpus,
+        "export_pdg_methods": q.export_pdg_methods,
     }
 
 
@@ -104,6 +107,17 @@ def oracle_sql() -> dict[str, str]:
         "orders_top_by_price": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 5"
+        ),
+        "event_type_stats": (
+            "SELECT event_type, count(*) AS n_events, min(value) AS min_value, "
+            "max(value) AS max_value FROM events GROUP BY event_type "
+            "ORDER BY event_type"
+        ),
+        "suppliers_per_region": (
+            "SELECT r_name AS region, count(*) AS n_suppliers FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name ORDER BY region"
         ),
         "embedding_topk": (
             "SELECT vec_id, round(list_cosine_similarity(embedding, "

@@ -23,13 +23,20 @@ ENGINE_VERSION = "0.1.0"
 
 
 def _footer_row_count(path: str) -> tuple[int, list[str]]:
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.dataset as pads
 
     ds = pads.dataset(path, format="parquet")
     files = sorted(ds.files)
-    n = 0
-    for frag in ds.get_fragments():
-        n += frag.metadata.num_rows if frag.metadata is not None else frag.count_rows()
+
+    def _n(frag) -> int:
+        return frag.metadata.num_rows if frag.metadata is not None else frag.count_rows()
+
+    # footer reads are tiny independent IOs — a serial loop over hundreds
+    # of files costs seconds of driver time
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        n = sum(ex.map(_n, ds.get_fragments()))
     return n, files
 
 

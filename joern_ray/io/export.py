@@ -45,12 +45,48 @@ def method_ast_dot(method: PNode) -> str:
     return "\n".join(lines)
 
 
+def method_overlay_dot(method: PNode, preds: tuple[str, ...], title: str) -> str:
+    """One METHOD subtree -> DOT of its CFG/DDG/CDG overlay edges
+    (reference `DotCfgGenerator`/`DdgNodeDot`)."""
+    from ..graph.cfg import method_overlays
+
+    wanted = [
+        (a, p, b, v)
+        for a, p, b, v in method_overlays(method)
+        if p in preds
+    ]
+    ids: dict[int, int] = {}
+    lines = [f'digraph "{_dot_escape(method.name)}-{title}" {{']
+    def nid(n: PNode) -> int:
+        if id(n) not in ids:
+            ids[id(n)] = len(ids)
+            label = f"{n.label}, {n.code or n.name}"
+            lines.append(f'  n{ids[id(n)]} [label="{_dot_escape(label)}"]')
+        return ids[id(n)]
+    for a, p, b, v in wanted:
+        ia, ib = nid(a), nid(b)
+        attr = f' [label="{_dot_escape(v)}"]' if v else ""
+        lines.append(f"  n{ia} -> n{ib}{attr}")
+    lines.append("}")
+    return "\n".join(lines)
+
+
+_REPR_PREDS = {
+    "cfg": ("CFG",),
+    "ddg": ("REACHING_DEF",),
+    "cdg": ("CDG",),
+    "pdg": ("REACHING_DEF", "CDG"),
+}
+
+
 class DotExporter:
     """Actor-pool stage: fragment batches -> (url, fragment_idx,
-    method_full_name, dot) rows."""
+    method_full_name, dot) rows.  `repr_` picks the subgraph
+    (reference `JoernExport` representations: ast|cfg|ddg|cdg|pdg)."""
 
-    def __init__(self) -> None:
+    def __init__(self, repr_: str = "ast") -> None:
         self.parsers = {d: FragmentParser(d) for d in ("c", "cpp", "java", "javascript")}
+        self.repr = repr_
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "row_kind" in batch.column_names:
@@ -81,7 +117,12 @@ class DotExporter:
                 o_url.append(url)
                 o_idx.append(idx)
                 o_fqn.append(m.full_name)
-                o_dot.append(method_ast_dot(m))
+                if self.repr == "ast":
+                    o_dot.append(method_ast_dot(m))
+                else:
+                    o_dot.append(
+                        method_overlay_dot(m, _REPR_PREDS[self.repr], self.repr)
+                    )
         return pa.table(
             {
                 "url": pa.array(o_url, pa.string()),
@@ -92,13 +133,18 @@ class DotExporter:
         )
 
 
-def export_dot(docs_ds, concurrency=(1, 8)):
-    """docs -> detected fragments -> per-method AST dot rows (streams)."""
+def export_dot(docs_ds, repr_: str = "ast", concurrency=(1, 8)):
+    """docs -> detected fragments -> per-method dot rows (streams)."""
     from ..stages.extract import detect_fragments_batch
 
     return docs_ds.map_batches(
         detect_fragments_batch, batch_format="pyarrow"
-    ).map_batches(DotExporter, batch_format="pyarrow", concurrency=concurrency)
+    ).map_batches(
+        DotExporter,
+        fn_constructor_kwargs={"repr_": repr_},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
 
 
 # ---------------------------------------------------------------------------

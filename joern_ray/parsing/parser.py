@@ -100,6 +100,7 @@ class FragmentParser:
             line=1,
             col=1,
         )
+        self._emit_imports(root)
         if self.is_js:
             # Joern jssrc wraps top-level statements in a `:program` METHOD
             # (jssrc2cpg program structure); named function decls are ALSO
@@ -125,6 +126,37 @@ class FragmentParser:
         else:
             self._parse_c_top(root)
         return root
+
+    _C_INCLUDE_RE = None  # compiled lazily per class (shared)
+
+    def _emit_imports(self, root: PNode) -> None:
+        """IMPORT nodes from #include / require / ES import lines
+        (reference `XImportResolverPass.scala:1-46` resolves import
+        strings per frontend; Java imports are handled in
+        `_parse_java_top`)."""
+        import re as _re
+
+        cls = type(self)
+        if cls._C_INCLUDE_RE is None:
+            cls._C_INCLUDE_RE = {
+                "c": _re.compile(r'^\s*#\s*include\s+[<"]([^>"]+)[>"]', _re.M),
+                "js_req": _re.compile(r'require\(\s*[\'"]([^\'"]+)[\'"]\s*\)'),
+                "js_imp": _re.compile(r'^\s*import\s+.*?from\s+[\'"]([^\'"]+)[\'"]', _re.M),
+            }
+        found: list[str] = []
+        if self.is_c_family:
+            found = cls._C_INCLUDE_RE["c"].findall(self.src)
+        elif self.is_js:
+            found = cls._C_INCLUDE_RE["js_req"].findall(self.src) + cls._C_INCLUDE_RE[
+                "js_imp"
+            ].findall(self.src)
+        for imp in found:
+            node = PNode(
+                "IMPORT", name=imp, code=f"import {imp}", line=1, col=1
+            )
+            self.node_count += 1
+            root.add(node)
+            root.extra_edges.append(("IMPORTS", node))
 
     # ---- token helpers ---------------------------------------------------
 
@@ -211,6 +243,8 @@ class FragmentParser:
         if self._at(";"):
             self.i += 1
             return None
+        if self._at("typedef"):
+            return self._parse_c_typedef()
         if self._tok().text in ("struct", "union", "enum") and self._tok(2).text == "{":
             return self._parse_c_struct()
         save = self.i
@@ -227,6 +261,44 @@ class FragmentParser:
             return method
         self.i = save
         return None
+
+    def _parse_c_typedef(self) -> PNode | None:
+        """`typedef T Alias;` / `typedef struct {...} Alias;` ->
+        TYPE_DECL(Alias) carrying the aliased type as `signature =
+        "alias:T"` — exploded into an ALIAS_OF edge by the map-side
+        linker (reference `typerelations/AliasLinkerPass.scala:10-28`
+        joins TYPE_DECL.aliasTypeFullName ⋈ TYPE)."""
+        kw = self._expect("typedef")
+        if self._tok().text in ("struct", "union", "enum") and (
+            self._tok(1).text == "{" or self._tok(2).text == "{"
+        ):
+            td = self._parse_c_struct()  # consumed through '}' (+ maybe ';')
+            name_tok = self._tok()
+            if name_tok.kind == "id":
+                self.i += 1
+                target = td.full_name
+                td.name = name_tok.text
+                td.full_name = name_tok.text
+                td.signature = f"alias:{target}" if target != "<anonymous>" else ""
+            self._accept(";")
+            return td
+        typ = self._try_parse_type()
+        if typ is None:
+            raise ParseError("typedef target")
+        name_tok = self._tok()
+        if name_tok.kind != "id":
+            raise ParseError("typedef alias name")
+        self.i += 1
+        while not self._at_eof() and not self._accept(";"):
+            self.i += 1
+        return self._new(
+            "TYPE_DECL",
+            kw,
+            name=name_tok.text,
+            full_name=name_tok.text,
+            signature=f"alias:{typ}",
+            code=f"typedef {typ} {name_tok.text}",
+        )
 
     def _parse_c_struct(self) -> PNode:
         kw = self._tok()
@@ -279,9 +351,19 @@ class FragmentParser:
             start = self.i
             try:
                 t = self._tok()
-                if t.text in ("package", "import"):
+                if t.text == "package":
                     while not self._at_eof() and not self._accept(";"):
                         self.i += 1
+                    continue
+                if t.text == "import":
+                    self.i += 1
+                    start = self.i
+                    while not self._at_eof() and not self._accept(";"):
+                        self.i += 1
+                    imp = self._slice(start).rstrip(";").strip()
+                    node = self._new("IMPORT", t, name=imp, code=f"import {imp}")
+                    root.add(node)
+                    root.extra_edges.append(("IMPORTS", node))
                     continue
                 if t.text == "@":  # annotation
                     self.i += 2

@@ -651,3 +651,86 @@ def method_vectors_corpus(sf_dir: str) -> pa.Table:
             "digest": pa.array([digest], pa.string()),
         }
     )
+
+
+def event_type_stats(sf_dir: str) -> pa.Table:
+    """Per-type aggregate with exact-passthrough min/max (combiner
+    pattern, SQL-oracle-checkable)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch)
+            .group_by("event_type")
+            .agg(
+                pl.len().alias("n"),
+                pl.col("value").min().alias("mn"),
+                pl.col("value").max().alias("mx"),
+            )
+            .to_arrow()
+        )
+
+    import polars as pl
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    out = (
+        pl.from_arrow(t)
+        .group_by("event_type")
+        .agg(
+            pl.col("n").sum().alias("n_events"),
+            pl.col("mn").min().alias("min_value"),
+            pl.col("mx").max().alias("max_value"),
+        )
+        .sort("event_type")
+        .to_arrow()
+    )
+    return out
+
+
+def suppliers_per_region(sf_dir: str) -> pa.Table:
+    """Two-hop broadcast join: supplier -> nation -> region."""
+    import ray
+
+    nation = _collect(_read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]))
+    region = _collect(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    n2r = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_regionkey").to_pylist())
+    )
+    r2name = dict(
+        zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist())
+    )
+    lookup = {k: r2name.get(v, "?") for k, v in n2r.items()}
+    ref = ray.put(lookup)
+
+    class Join:
+        def __init__(self, r) -> None:
+            self.lk = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("s_nationkey").to_pylist()
+            return pa.table(
+                {"region": pa.array([self.lk.get(k, "?") for k in keys], pa.string())}
+            )
+
+    out = (
+        _read(sf_dir, "supplier", ["s_nationkey"])
+        .map_batches(Join, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("region")
+        .count()
+        .sort("region")
+    )
+    t = _collect(out)
+    return t.rename_columns(["region", "n_suppliers"])
+
+
+def export_pdg_methods(sf_dir: str) -> pa.Table:
+    """Per-method PDG (REACHING_DEF+CDG) DOT export counts."""
+    from ..io.export import export_dot
+    from ..sources.corpus import docs_dataset
+
+    n = min(_docs_count_for(sf_dir), 300)
+    ds = export_dot(docs_dataset(n, parallelism=4), repr_="pdg", concurrency=(1, 4))
+    t = _collect(ds)
+    return pa.table({"n_methods": pa.array([t.num_rows], pa.int64())})

@@ -111,6 +111,20 @@ def mapside_link_edges(batch: pa.Table) -> pa.Table:
             subj_parts.append(pa.array(s_ids, pa.uint64()))
             obj_parts.append(np.array(o_ids, dtype=np.uint64))
             pred_parts.append(("INHERITS_FROM", len(s_ids)))
+    # ALIAS_OF: typedef TYPE_DECLs carry their target as signature
+    # "alias:T" (reference `AliasLinkerPass.scala:10-28`)
+    sig = pc.coalesce(batch.column("signature"), pa.scalar(""))
+    al = batch.filter(
+        pc.and_(pc.equal(labels, "TYPE_DECL"), pc.starts_with(sig, "alias:"))
+    )
+    if al.num_rows:
+        a_ids, a_objs = [], []
+        for nid, s_ in zip(al.column("id").to_pylist(), al.column("signature").to_pylist()):
+            a_ids.append(nid)
+            a_objs.append(type_id(s_[6:]))
+        subj_parts.append(pa.array(a_ids, pa.uint64()))
+        obj_parts.append(np.array(a_objs, dtype=np.uint64))
+        pred_parts.append(("ALIAS_OF", len(a_ids)))
     # SOURCE_FILE
     url = batch.column("url")
     sf_mask = pc.and_(

@@ -37,6 +37,15 @@ def survey_partial(batch: pa.Table) -> pa.Table:
     )
     for v in pc.unique(nonempty.filter(td_mask).column("type_full_name")).to_pylist():
         tvals.update(p for p in v.split(";") if p)
+    # typedef alias targets (signature "alias:T" on TYPE_DECL) belong in
+    # the TYPE dimension too
+    sig = pc.coalesce(batch.column("signature"), pa.scalar(""))
+    alias_sigs = batch.filter(
+        pc.and_(pc.equal(labels, "TYPE_DECL"), pc.starts_with(sig, "alias:"))
+    ).column("signature")
+    for v in pc.unique(alias_sigs).to_pylist():
+        if v and len(v) > 6:
+            tvals.add(v[6:])
     for v in tvals:
         if v:
             ks.append("ty")

@@ -159,3 +159,28 @@ def test_determinism_and_id_stability():
     ids_a = {n["id"] for n in a[0]}
     ids_c = {n["id"] for n in c[0]}
     assert not (ids_a & ids_c)  # ids depend on url
+
+
+def test_typedef_alias():
+    src = "typedef unsigned long my_size_t;\ntypedef struct { int a; } Point;\n"
+    nodes, _ = parse_rows(src, "c")
+    tds = {n["name"]: n["signature"] for n in nodes if n["label"] == "TYPE_DECL"}
+    assert tds["my_size_t"] == "alias:unsigned long"
+    assert "Point" in tds
+
+
+def test_import_nodes():
+    cases = [
+        ("c", '#include <stdio.h>\nint f(){return 0;}', {"stdio.h"}),
+        ("java", "import java.util.List;\npublic class A { }", {"java.util.List"}),
+        ("javascript", "const x = require('lodash');\nfunction f(){}", {"lodash"}),
+    ]
+    for dialect, src, want in cases:
+        nodes, edges = parse_rows(src, dialect)
+        imps = {n["name"] for n in nodes if n["label"] == "IMPORT"}
+        assert imps == want
+        byid = {n["id"]: n for n in nodes}
+        assert any(
+            e["pred"] == "IMPORTS" and byid[e["subj"]]["label"] == "NAMESPACE_BLOCK"
+            for e in edges
+        )
