@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cpg_method_table": q.cpg_method_table,
         "cpg_call_resolution": q.cpg_call_resolution,
         "scan_dangerous_calls": q.scan_dangerous_calls,
+        "scan_bundle": q.scan_bundle,
         # generic engine operators over testdata (SQL-checkable)
         "lang_counts": q.lang_counts,
         "exact_dedup_documents": q.exact_dedup_documents,

@@ -26,22 +26,28 @@ _FLOW_PREDS = ("REACHING_DEF",)
 
 
 class _FrontierFilter:
-    """map_batches actor: emit (subj, obj) edge rows whose obj is in the
-    broadcast frontier and pred in preds."""
+    """map_batches actor: emit (step_from, step_to) edge rows whose
+    match-end is in the broadcast frontier and pred in preds.
+    direction "back" walks obj->subj (reachableBy); "fwd" walks
+    subj->obj (forward taint)."""
 
-    def __init__(self, frontier_ref, preds: tuple) -> None:
+    def __init__(self, frontier_ref, preds: tuple, direction: str = "back") -> None:
         import ray
 
         f = ray.get(frontier_ref) if not isinstance(frontier_ref, (set, frozenset)) else frontier_ref
         self.frontier = pa.array(list(f), pa.uint64())
         self.preds = pa.array(list(preds), pa.string())
+        self.match_col, self.emit_col = ("obj", "subj") if direction == "back" else ("subj", "obj")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = pc.and_(
             pc.is_in(batch.column("pred"), value_set=self.preds),
-            pc.is_in(batch.column("obj"), value_set=self.frontier),
+            pc.is_in(batch.column(self.match_col), value_set=self.frontier),
         )
-        return batch.filter(m).select(["subj", "obj"])
+        b = batch.filter(m)
+        return pa.table(
+            {"next": b.column(self.emit_col), "from": b.column(self.match_col)}
+        )
 
 
 def reachable_by(
@@ -49,11 +55,14 @@ def reachable_by(
     sink_ids: set[int],
     max_depth: int = MAX_DEPTH,
     preds: tuple = _FLOW_PREDS,
+    direction: str = "back",
 ) -> pa.Table:
-    """Backwards reachability from `sink_ids` along `preds` edges.
+    """Reachability from `sink_ids` along `preds` edges — backwards by
+    default (the reference engine explores from sinks,
+    `Engine.scala:43-66`); direction="fwd" gives forward taint.
 
     Returns (node, parent, depth): node reaches parent's flow at `depth`
-    steps back from a sink.  `edges_ds_factory()` must yield a fresh edges
+    steps from a seed.  `edges_ds_factory()` must yield a fresh edges
     Dataset per round (Parquet-backed → each scan streams from disk).
     """
     import ray
@@ -69,13 +78,13 @@ def reachable_by(
         fref = ray.put(frozenset(frontier))
         hits = edges_ds_factory().map_batches(
             _FrontierFilter,
-            fn_constructor_args=(fref, preds),
+            fn_constructor_args=(fref, preds, direction),
             batch_format="pyarrow",
             concurrency=(1, 8),
         )
         new_frontier: set[int] = set()
         for b in hits.iter_batches(batch_format="pyarrow"):
-            for s, o in zip(b.column("subj").to_pylist(), b.column("obj").to_pylist()):
+            for s, o in zip(b.column("next").to_pylist(), b.column("from").to_pylist()):
                 rows_node.append(s)
                 rows_parent.append(o)
                 rows_depth.append(depth)

@@ -88,6 +88,7 @@ class FragmentParser:
         self.fragment_idx = fragment_idx
         self.scopes: list[dict[str, PNode]] = [{}]
         self.class_members_stack: list[dict[str, PNode]] = []
+        self.class_name_stack: list[str] = []
         self.node_count = 0
         self.lambda_counter = 0
         self.lambda_stack: list[list[PNode]] = []
@@ -418,6 +419,7 @@ class FragmentParser:
         # name) as a later pass; here fields declared before use link at
         # parse time — the common layout)
         self.class_members_stack.append({})
+        self.class_name_stack.append(name)
         while not self._at_eof() and not self._at("}"):
             start = self.i
             try:
@@ -435,6 +437,7 @@ class FragmentParser:
             if self.i == start:
                 self.i += 1
         self.class_members_stack.pop()
+        self.class_name_stack.pop()
         self._accept("}")
         return td
 
@@ -1409,13 +1412,26 @@ class FragmentParser:
                 fname_tok = self._tok(1)
                 self.i += 2
                 if self._at("("):
-                    # method call base.m(...)
+                    # method call base.m(...) — when the receiver's type
+                    # is known (typed local/param, or `this` inside a
+                    # class) the call carries the QUALIFIED name T.m so
+                    # linking and SAFEDISPATCH candidates work
+                    recv_type = ""
+                    if node.code == "this" and self.class_name_stack:
+                        recv_type = self.class_name_stack[-1]
+                    elif node.type_full_name and not any(
+                        ch in node.type_full_name for ch in "*&<[;"
+                    ):
+                        recv_type = node.type_full_name
+                    mfn = (
+                        f"{recv_type}.{fname_tok.text}" if recv_type else fname_tok.text
+                    )
                     args = self._parse_call_args()
                     call = self._new(
                         "CALL",
                         fname_tok,
                         name=fname_tok.text,
-                        method_full_name=fname_tok.text,
+                        method_full_name=mfn,
                         dispatch_type=DYNAMIC_DISPATCH,
                         code=self._slice(start),
                     )

@@ -194,6 +194,25 @@ def build_cpg(
         fingerprint,
         partition_cols=["row_kind"],
     )
+    # per-stage metrics: reject counts are free from the reject dir's
+    # Parquet footers (the north rule's lineage + metrics; reference
+    # Report table analog, `x2cpg/.../utils/Report.scala:27-60`)
+    import json as _json
+
+    from ..io.checkpoint import _footer_row_count, manifest_path
+
+    reject_dir = os.path.join(parse_path, "row_kind=reject")
+    n_rejects = _footer_row_count(reject_dir)[0] if os.path.isdir(reject_dir) else 0
+    try:
+        mp = manifest_path(parse_path)
+        m = _json.load(open(mp))
+        if m.get("reject_rows") != n_rejects:
+            m["reject_rows"] = n_rejects
+            with open(mp + ".tmp", "w") as f:
+                _json.dump(m, f, indent=1)
+            os.replace(mp + ".tmp", mp)
+    except (OSError, _json.JSONDecodeError):
+        pass
     _mark("parse")
     parse_fp = f"{fingerprint}/parse"
 
@@ -396,10 +415,21 @@ def build_cpg(
             if sig and "(" in sig and sig.split("(")[0] not in ("", "ANY")
         }
 
+        # SAFEDISPATCH candidate sets for dynamic dispatch (subclass
+        # overrides + superclass fallback) from the class hierarchy
+        from ..stages.link import build_dyn_candidates
+
+        dyn_candidates = build_dyn_candidates(
+            canon_t.filter(pc.equal(canon_t.column("label"), "TYPE_DECL")),
+            sv["ca"].keys(),
+            index_dict,
+        )
+
         def _combined(batch: pa.Table) -> pa.Table:
             linker = CombinedLinker.__new__(CombinedLinker)
             linker.index = index_dict
             linker.ret_types = ret_types
+            linker.dyn_candidates = dyn_candidates
             return linker(batch)
 
         final_edges = all_nodes().map_batches(_combined, batch_format="pyarrow")

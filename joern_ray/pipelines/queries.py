@@ -734,3 +734,24 @@ def export_pdg_methods(sf_dir: str) -> pa.Table:
     ds = export_dot(docs_dataset(n, parallelism=4), repr_="pdg", concurrency=(1, 4))
     t = _collect(ds)
     return pa.table({"n_methods": pa.array([t.num_rows], pa.int64())})
+
+
+def scan_bundle(sf_dir: str) -> pa.Table:
+    """Full scanner bundle (querydb analog) over the corpus CPG —
+    findings per query."""
+    from ..query.dsl import Cpg
+    from ..query.scanners import run_scan
+
+    res = _cpg_paths(sf_dir)
+    cpg = Cpg(res["nodes_path"], res["edges_path"])
+    findings = run_scan(cpg)
+    import collections
+
+    c = collections.Counter(findings.column("name").to_pylist())
+    rows = sorted(c.items())
+    return pa.table(
+        {
+            "query": pa.array([k for k, _ in rows], pa.string()),
+            "n_findings": pa.array([v for _, v in rows], pa.int64()),
+        }
+    )

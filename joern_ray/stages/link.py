@@ -362,6 +362,12 @@ class CallLinker:
     (`logFailedDstLookup` analog is the stub row itself).
     """
 
+    # fqn -> sorted candidate id list for DYNAMIC_DISPATCH calls
+    # (SAFEDISPATCH candidate sets: own/superclass-fallback definition
+    # first, then subclass overrides — reference `DynamicCallLinker.
+    # scala:29-221`, comment :26-27; superclass fallback :146-171)
+    dyn_candidates: dict | None = None
+
     def __init__(self, index_ref) -> None:
         import ray
 
@@ -382,17 +388,54 @@ class CallLinker:
         d = pc.dictionary_encode(keep.column("method_full_name").combine_chunks())
         uniq = d.dictionary.to_pylist()
         idx = self.index
-        targets = np.array(
-            [idx.get(u) if idx.get(u) is not None else stub_id(u) for u in uniq],
-            dtype=np.uint64,
-        )
-        obj = targets[d.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        dyn = self.dyn_candidates or {}
+
+        def _primary(u: str):
+            c = dyn.get(u)
+            if c:
+                return c[0]
+            got = idx.get(u)
+            return got if got is not None else stub_id(u)
+
+        targets = np.array([_primary(u) for u in uniq], dtype=np.uint64)
+        dict_idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        obj = targets[dict_idx]
+        # extra CALL edges for additional dynamic candidates (one edge per
+        # candidate per call site, like the reference's candidate set)
+        extra_tables: list[pa.Table] = []
+        for ui, u in enumerate(uniq):
+            cands = dyn.get(u)
+            if not cands or len(cands) < 2:
+                continue
+            rows = np.nonzero(dict_idx == ui)[0]
+            if not len(rows):
+                continue
+            subj_ids = (
+                keep.column("id").combine_chunks().cast(pa.uint64()).to_numpy(zero_copy_only=False)[rows]
+            )
+            labs = keep.column("label").take(pa.array(rows)).to_pylist()
+            for extra in cands[1:]:
+                n_r = len(rows)
+                extra_tables.append(
+                    pa.table(
+                        {
+                            "subj": pa.array(subj_ids, pa.uint64()),
+                            "pred": pa.array(
+                                ["CALL" if l == "CALL" else "REF" for l in labs], pa.string()
+                            ),
+                            "obj": pa.array([extra] * n_r, pa.uint64()),
+                            "variable": pa.nulls(n_r, pa.string()),
+                        },
+                        schema=EDGES_SCHEMA,
+                    )
+                )
+        self._extra_tables = extra_tables
         pred = pc.if_else(
             pc.equal(keep.column("label"), "CALL"),
             pa.scalar("CALL"),
             pa.scalar("REF"),
         )
-        return pa.table(
+        out = pa.table(
             {
                 "subj": keep.column("id").combine_chunks().cast(pa.uint64()),
                 "pred": pred.combine_chunks() if isinstance(pred, pa.ChunkedArray) else pred,
@@ -401,6 +444,83 @@ class CallLinker:
             },
             schema=EDGES_SCHEMA,
         )
+        if self._extra_tables:
+            out = pa.concat_tables([out] + self._extra_tables)
+        return out
+
+
+def build_dyn_candidates(
+    type_decls: "pa.Table", call_fqns, index: dict, max_depth: int = 16
+) -> dict:
+    """SAFEDISPATCH candidate sets (reference `DynamicCallLinker.scala:
+    29-221`): for call fqn "T.m" — T's own (or nearest superclass,
+    fallback :146-171) definition first, then every subclass override
+    (:26-27 candidate set = methods of all subclasses).
+
+    `type_decls`: TYPE_DECL rows (full_name + ;-joined inherits in
+    type_full_name).  Closure is an iterative walk bounded by hierarchy
+    depth — the distributed analog would be the iterative INHERITS_FROM
+    self-join (SURVEY.md §2.4)."""
+    parents: dict[str, list[str]] = {}
+    children: dict[str, list[str]] = {}
+    for fqn, tfl in zip(
+        type_decls.column("full_name").to_pylist(),
+        type_decls.column("type_full_name").to_pylist(),
+    ):
+        if not tfl or tfl.startswith("alias:"):
+            continue
+        ps = [p for p in tfl.split(";") if p]
+        parents[fqn] = ps
+        for p in ps:
+            children.setdefault(p, []).append(fqn)
+
+    def subclasses(t: str) -> list[str]:
+        out: list[str] = []
+        frontier = [t]
+        for _ in range(max_depth):
+            nxt: list[str] = []
+            for c in frontier:
+                for s in children.get(c, ()):
+                    if s not in out:
+                        out.append(s)
+                        nxt.append(s)
+            if not nxt:
+                break
+            frontier = nxt
+        return out
+
+    dyn: dict[str, list[int]] = {}
+    for fqn in call_fqns:
+        if "." not in fqn or fqn.startswith("<operator>"):
+            continue
+        t, m = fqn.rsplit(".", 1)
+        if t not in parents and t not in children and f"{t}.{m}" not in index:
+            continue
+        cands: list[int] = []
+        if fqn in index:
+            cands.append(index[fqn])
+        else:
+            # superclass fallback: nearest ancestor defining m
+            cur, hops = t, 0
+            while hops < max_depth:
+                ps = parents.get(cur, [])
+                if not ps:
+                    break
+                cur = ps[0]
+                hops += 1
+                got = index.get(f"{cur}.{m}")
+                if got is not None:
+                    cands.append(got)
+                    break
+        for s in sorted(subclasses(t)):
+            got = index.get(f"{s}.{m}")
+            if got is not None and got not in cands:
+                cands.append(got)
+        if len(cands) > (1 if fqn in index else 0):
+            dyn[fqn] = cands
+        elif cands and fqn not in index:
+            dyn[fqn] = cands  # pure superclass-fallback resolution
+    return dyn
 
 
 def unresolved_stub_dimension(calls_ds, index_table: pa.Table) -> pa.Table:

@@ -218,3 +218,117 @@ def test_shuffle_link_regime_matches_broadcast(ray_session):
 
     # compare against the broadcast build from the module fixture dir
     assert call_pairs(out) == call_pairs(OUT)
+
+
+def test_cross_document_call_link(ray_session):
+    """F2 (FIXTURES.md): a method defined in doc A, called from doc B —
+    the link shuffle resolves the CALL edge ACROSS documents."""
+    import ray.data
+
+    from joern_ray.pipelines.cpg import build_cpg, read_edges
+
+    doc_a = (
+        '<html><body><pre><code class="language-c">'
+        "void print_number_x(int x) { printf(x); }\n"
+        "</code></pre></body></html>"
+    )
+    doc_b = (
+        '<html><body><pre><code class="language-c">'
+        "int main(void) { print_number_x(42); return 0; }\n"
+        "</code></pre></body></html>"
+    )
+    out = "/tmp/joern_ray_test_crossdoc"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def docs_factory(columns):
+        t = pa.table(
+            {
+                "url": ["https://a/1", "https://b/2"],
+                "warc_ts": pa.array([0, 1], pa.timestamp("us")),
+                "html": pa.array([doc_a.encode(), doc_b.encode()], pa.large_binary()),
+                "text": ["", ""],
+                "lang": ["en", "en"],
+            }
+        )
+        return ray.data.from_arrow(t)
+
+    res = build_cpg(docs_factory, out, "crossdoc", num_partitions=2, parse_concurrency=1)
+    nodes = _read_all(ray_session, res["nodes_path"])
+    edges = _read_all(
+        ray_session, res["edges_path"], columns=["subj", "pred", "obj", "variable"]
+    )
+    byid = dict(zip(nodes.column("id").to_pylist(), zip(
+        nodes.column("label").to_pylist(),
+        nodes.column("name").to_pylist(),
+        nodes.column("url").to_pylist(),
+    )))
+    cross = [
+        (byid[s], byid[o])
+        for s, p, o in zip(
+            edges.column("subj").to_pylist(),
+            edges.column("pred").to_pylist(),
+            edges.column("obj").to_pylist(),
+        )
+        if p == "CALL" and s in byid and o in byid
+        and byid[s][1] == "print_number_x" and byid[s][0] == "CALL"
+    ]
+    assert cross, "call site not linked"
+    (call_info, target_info) = cross[0]
+    assert call_info[2] == "https://b/2"  # call site in doc B
+    assert target_info[0] == "METHOD" and target_info[2] == "https://a/1"  # def in doc A
+
+
+def test_dynamic_dispatch_candidates(ray_session):
+    """SAFEDISPATCH: a.speak() with static type Animal links to both
+    Animal.speak and the Dog.speak override (DynamicCallLinker analog)."""
+    import ray.data
+
+    from joern_ray.pipelines.cpg import build_cpg
+
+    doc = (
+        '<html><body><pre><code class="language-java">'
+        "public class Animal { public int speak() { return 0; } }\n"
+        "public class Dog extends Animal { public int speak() { return 1; } }\n"
+        "public class Zoo { public int visit(Animal a) { return a.speak(); } }\n"
+        "</code></pre></body></html>"
+    )
+    out = "/tmp/joern_ray_test_dyn"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def docs_factory(columns):
+        t = pa.table(
+            {
+                "url": ["https://dyn/1"],
+                "warc_ts": pa.array([0], pa.timestamp("us")),
+                "html": pa.array([doc.encode()], pa.large_binary()),
+                "text": [""],
+                "lang": ["en"],
+            }
+        )
+        return ray.data.from_arrow(t)
+
+    res = build_cpg(docs_factory, out, "dyn-1", num_partitions=2, parse_concurrency=1)
+    nodes = _read_all(ray_session, res["nodes_path"])
+    edges = _read_all(
+        ray_session, res["edges_path"], columns=["subj", "pred", "obj", "variable"]
+    )
+    byid = dict(
+        zip(
+            nodes.column("id").to_pylist(),
+            zip(nodes.column("label").to_pylist(), nodes.column("full_name").to_pylist()),
+        )
+    )
+    speak_call = nodes.filter(
+        pc.and_(pc.equal(nodes.column("label"), "CALL"), pc.equal(nodes.column("name"), "speak"))
+    )
+    cid = speak_call.column("id")[0].as_py()
+    targets = {
+        byid[o][1]
+        for s, p, o in zip(
+            edges.column("subj").to_pylist(),
+            edges.column("pred").to_pylist(),
+            edges.column("obj").to_pylist(),
+        )
+        if p == "CALL" and s == cid and o in byid
+    }
+    assert targets == {"Animal.speak", "Dog.speak"}
