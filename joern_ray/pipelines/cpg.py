@@ -456,12 +456,84 @@ def build_cpg(
     t2 = threading.Thread(target=_w, args=(final_edges, edges_path, "edges"))
     t1.start()
     t2.start()
+
+    # ---- stage: entity equivalence (MinHash collapse; north star:
+    # "min-hash dedup collapses equivalent entities") -------------------
+    # Near-identical METHOD bodies across documents map to one canonical
+    # entity id (provenance preserved — members keep their own rows; the
+    # equivalences table is the collapse mapping).  Distributed
+    # (MinHasher actor pool + band groupby) and overlapped with the two
+    # partitioned writes.
+    equiv_path = os.path.join(out_dir, "equivalences")
+    eq_box: list = [None]
+
+    def _equiv():
+        try:
+            from ..stages.dedup import minhash_dedup
+
+            def methods_code(batch: pa.Table) -> pa.Table:
+                m = pc.and_(
+                    pc.equal(batch.column("label"), "METHOD"),
+                    pc.not_equal(pc.coalesce(batch.column("code"), pa.scalar("")), ""),
+                )
+                b = batch.filter(m)
+                return pa.table(
+                    {
+                        # ids are 63-bit — safe in the int64 the dedup
+                        # stage uses
+                        "method_id": b.column("id").combine_chunks().cast(pa.int64()),
+                        "text": pc.coalesce(b.column("code"), pa.scalar("")),
+                    }
+                )
+
+            out = minhash_dedup(
+                mt_ds().map_batches(methods_code, batch_format="pyarrow"),
+                text_col="text",
+                id_col="method_id",
+                num_perm=64,
+                bands=16,
+                # fixed pool sized to the session — a pool larger than
+                # the CPU count deadlocks waiting for actors to schedule
+                concurrency=max(
+                    1, min(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+                ),
+            )
+            parts_ = list(out.iter_batches(batch_format="pyarrow"))
+            t = (
+                pa.concat_tables(parts_)
+                if parts_
+                else pa.table(
+                    {"method_id": pa.array([], pa.int64()), "canonical_id": pa.array([], pa.int64())}
+                )
+            )
+            # keep only actually-collapsed members (canonical != self)
+            t = t.filter(
+                pc.not_equal(t.column("method_id"), t.column("canonical_id"))
+            ).rename_columns(["method_id", "entity_id"])
+            t = t.take(pc.sort_indices(t, sort_keys=[("method_id", "ascending")]))
+            os.makedirs(equiv_path, exist_ok=True)
+            import pyarrow.parquet as pq
+
+            pq.write_table(t, os.path.join(equiv_path, "equivalences.parquet"))
+            from ..io.checkpoint import write_manifest
+
+            write_manifest(equiv_path, "equivalences", parse_fp, 0.0)
+            eq_box[0] = t
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    t3 = threading.Thread(target=_equiv)
+    t3.start()
     t1.join()
     t2.join()
+    t3.join()
+    eq_t = eq_box[0]
     _mark("writes")
     if errs:
         raise errs[0]
     return {
+        "equivalences_path": equiv_path if eq_t is not None else None,
+        "n_collapsed_methods": eq_t.num_rows if eq_t is not None else 0,
         "out_dir": out_dir,
         "nodes_path": nodes_path,
         "edges_path": edges_paths(out_dir),

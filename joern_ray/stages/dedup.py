@@ -121,30 +121,57 @@ class MinHasher:
             prod = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
         return prod.min(axis=1).astype(np.uint64)
 
+    def signatures_batch(self, texts: list) -> np.ndarray:
+        """(n_docs, num_perm) signatures in one vectorized pass: concat
+        all shingles, permute once, segment-min via minimum.reduceat."""
+        shingle_lists = [_shingles(t or "", self.shingle_k) for t in texts]
+        if not shingle_lists:
+            return np.zeros((0, self.num_perm), np.uint64)
+        lens = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+        flat = np.concatenate(shingle_lists)
+        with np.errstate(over="ignore"):
+            # (num_perm, total_shingles)
+            prod = (flat[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # reduceat per permutation row -> (num_perm, n_docs)
+        mins = np.minimum.reduceat(prod, starts, axis=1)
+        return mins.T.astype(np.uint64)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         """flat-map: one row per (doc, band) with the band bucket hash and
         the full signature (carried for verification downstream)."""
         texts = batch.column(self.text_col).to_pylist()
-        ids = batch.column(self.id_col).to_pylist()
-        out_id, out_band, out_bucket, out_sig = [], [], [], []
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        n = len(texts)
+        if n == 0:
+            return pa.table(
+                {
+                    self.id_col: pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.uint64()),
+                    "sig": pa.array([], pa.list_(pa.uint64())),
+                }
+            )
+        sigs = self.signatures_batch(texts)  # (n, num_perm)
         r = self.rows_per_band
         with np.errstate(over="ignore"):
-            for did, t in zip(ids, texts):
-                sig = self.signature(t or "")
-                for band in range(self.bands):
-                    chunk = sig[band * r : (band + 1) * r]
-                    bucket = np.uint64(0)
-                    for v in chunk:  # tiny loop (r ~ 8)
-                        bucket = bucket * np.uint64(1000003) + v
-                    out_id.append(did)
-                    out_band.append(band)
-                    out_bucket.append(int(bucket & np.uint64((1 << 63) - 1)))
-                    out_sig.append(sig.tolist())
+            # bucket hash per (doc, band): polynomial over the band chunk,
+            # fully vectorized
+            chunks = sigs.reshape(n, self.bands, r)
+            bucket = np.zeros((n, self.bands), dtype=np.uint64)
+            for j in range(r):  # tiny loop (r ~ 4-8)
+                bucket = bucket * np.uint64(1000003) + chunks[:, :, j]
+            bucket &= np.uint64((1 << 63) - 1)
+        out_id = np.repeat(ids, self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        sig_lists = sigs.tolist()
+        out_sig = [sig_lists[i] for i in range(n) for _ in range(self.bands)]
         return pa.table(
             {
                 self.id_col: pa.array(out_id),
                 "band": pa.array(out_band, pa.int32()),
-                "bucket": pa.array(out_bucket, pa.uint64()),
+                "bucket": pa.array(bucket.reshape(-1), pa.uint64()),
                 "sig": pa.array(out_sig, pa.list_(pa.uint64())),
             }
         )
@@ -251,7 +278,7 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perm=128, bands=16, 
         concurrency=concurrency,
     ).map_batches(
         lambda b: b.select([id_col, "band", "bucket"]), batch_format="pyarrow"
-    )
+    ).materialize()  # groupby sampling must not re-run the MinHasher pool
 
     def bucket_min(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col)

@@ -332,3 +332,17 @@ def test_dynamic_dispatch_candidates(ray_session):
         if p == "CALL" and s == cid and o in byid
     }
     assert targets == {"Animal.speak", "Dog.speak"}
+
+
+def test_entity_equivalences_written(ray_session, cpg):
+    """MinHash entity collapse: near-identical method bodies across docs
+    map to one canonical entity id (the corpus plants near-dups, F9)."""
+    import pyarrow.parquet as pq
+
+    assert cpg["equivalences_path"]
+    t = pq.read_table(os.path.join(cpg["equivalences_path"], "equivalences.parquet"))
+    assert t.num_rows > 0
+    # mapping is idempotent: entity ids are themselves method ids with
+    # entity_id == min of their cluster
+    eq = dict(zip(t.column("method_id").to_pylist(), t.column("entity_id").to_pylist()))
+    assert all(eq.get(v, v) == v for v in eq.values())
