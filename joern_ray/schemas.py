@@ -122,7 +122,7 @@ NODE_LABELS = (
     "META_DATA FILE NAMESPACE_BLOCK NAMESPACE TYPE_DECL TYPE MEMBER METHOD "
     "METHOD_PARAMETER_IN METHOD_PARAMETER_OUT METHOD_RETURN METHOD_REF BLOCK "
     "CALL IDENTIFIER FIELD_IDENTIFIER LITERAL LOCAL RETURN CONTROL_STRUCTURE "
-    "JUMP_TARGET UNKNOWN COMMENT"
+    "JUMP_TARGET UNKNOWN COMMENT IMPORT CONFIG_FILE"
 ).split()
 
 # Edge predicates in use (subset of reference EdgeTypes; SURVEY §1.1).

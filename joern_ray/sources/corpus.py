@@ -144,6 +144,15 @@ def _f9_neardup(r: random.Random) -> str:
     )
 
 
+def _f11_json(r: random.Random) -> str:
+    name = f"pkg{r.randint(0, 99)}"
+    return (
+        '{\n  "name": "%s",\n  "version": "1.%d.%d",\n'
+        '  "dependencies": { "lodash": "^4.%d.0" }\n}\n'
+        % (name, r.randint(0, 9), r.randint(0, 9), r.randint(0, 17))
+    )
+
+
 def _f10_cpp(r: random.Random) -> str:
     n = r.randint(2, 20)
     return (
@@ -167,6 +176,7 @@ _TEMPLATES: list[tuple] = [
     (_f5_js, "javascript", 30),
     (_f6_java, "java", 20),
     (_f10_cpp, "cpp", 10),
+    (_f11_json, "json", 4),
 ]
 _TEMPLATE_POP = [t for t in _TEMPLATES for _ in range(t[2])]
 
@@ -215,9 +225,7 @@ def gen_doc(i: int, seed: int = SEED) -> dict:
         parts.append(f"<p>{para}</p>")
         if j < len(frags):
             flang, code = frags[j]
-            name = {"c": "c", "cpp": "cpp", "java": "java", "javascript": "javascript"}[
-                flang
-            ]
+            name = flang
             parts.append(
                 f'<pre><code class="language-{name}">{_escape_html(code)}</code></pre>'
             )

@@ -117,6 +117,9 @@ _FRAG_OPEN_RE = re.compile(rb'<pre><code class="language-([a-zA-Z+#]+)">')
 _FENCE_RE = re.compile(r"^```([a-zA-Z+#]*)\n(.*?)^```\s*$", re.S | re.M)
 
 _LANG_ALIASES = {
+    "json": "json",
+    "yaml": "yaml",
+    "xml": "xml",
     "c": "c",
     "cpp": "cpp",
     "c++": "cpp",

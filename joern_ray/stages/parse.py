@@ -287,7 +287,30 @@ class ParseFragments:
         e_pred: list[str] = []
         e_var: list = []
         reject_rows: list[dict] = passthrough_rejects
+        from ..functions.hashing import hash64 as _h64
+
         for url, idx, lang, code, chash in zip(urls, idxs, langs, codes, hashes):
+            if lang in ("json", "yaml", "xml"):
+                # config fragments become CONFIG_FILE nodes (reference
+                # `XConfigFileCreationPass.scala:1-136` lifts package.json
+                # etc. into CONFIG_FILE nodes)
+                file_rows.append(
+                    {
+                        "id": _h64(url, idx, "CONFIG_FILE"),
+                        "label": "CONFIG_FILE",
+                        "name": f"{url}#{idx}",
+                        "full_name": f"{url}#{idx}",
+                        "code": code[:300],
+                        "url": url,
+                        "fragment_idx": idx,
+                        "lang": lang,
+                        "order": 0,
+                        "argument_index": -1,
+                        "line": 1,
+                        "col": 1,
+                    }
+                )
+                continue
             if lang not in self.parsers:
                 reject_rows.append(
                     {
