@@ -495,7 +495,7 @@ def build_cpg(
                 # fixed pool sized to the session — a pool larger than
                 # the CPU count deadlocks waiting for actors to schedule
                 concurrency=max(
-                    1, min(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+                    1, min(24, int(ray.cluster_resources().get("CPU", 8)) - 2)
                 ),
             )
             parts_ = list(out.iter_batches(batch_format="pyarrow"))
