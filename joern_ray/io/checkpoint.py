@@ -19,7 +19,7 @@ import json
 import os
 import time
 
-ENGINE_VERSION = "0.1.0"
+ENGINE_VERSION = "0.2.0"  # bumped: survey gained 'rt' kind + true 'ca' counts
 
 
 def _footer_row_count(path: str) -> tuple[int, list[str]]:

@@ -105,25 +105,35 @@ def read_union_split(path: str, kind: str):
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
-class KeySetSplit:
-    """map_batches actor: keep rows whose `column` value is (or is not)
-    in a broadcast key set (`ray.put` once, read per actor)."""
+# Per-worker memo for broadcast key sets: plain TASKS (no pinned actor
+# CPUs — actor pools here starved concurrent Sort stages into deadlock at
+# low CPU counts), with the pa.array built once per worker process.
+_KEYSET_CACHE: dict = {}
 
-    def __init__(self, keys_ref, column: str, invert: bool = False) -> None:
+
+def keyset_split_fn(keys_ref, column: str, invert: bool = False):
+    """Task UDF factory: keep rows whose `column` value is (or is not) in
+    the `ray.put` key set; closure carries only the ObjectRef."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
         import ray
 
-        keys = ray.get(keys_ref) if not isinstance(keys_ref, (set, frozenset)) else keys_ref
-        self.keys = pa.array(list(keys), pa.string())
-        self.column = column
-        self.invert = invert
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if len(self.keys) == 0:
-            return batch if self.invert else batch.slice(0, 0)
-        mask = pc.is_in(batch.column(self.column), value_set=self.keys)
-        if self.invert:
+        ck = keys_ref.hex() if hasattr(keys_ref, "hex") else str(id(keys_ref))
+        keys = _KEYSET_CACHE.get(ck)
+        if keys is None:
+            if len(_KEYSET_CACHE) > 4:
+                _KEYSET_CACHE.clear()
+            got = ray.get(keys_ref) if not isinstance(keys_ref, (set, frozenset)) else keys_ref
+            keys = pa.array(list(got), pa.string())
+            _KEYSET_CACHE[ck] = keys
+        if len(keys) == 0:
+            return batch if invert else batch.slice(0, 0)
+        mask = pc.is_in(batch.column(column), value_set=keys)
+        if invert:
             mask = pc.invert(mask)
         return batch.filter(mask)
+
+    return _fn
 
 
 def build_cpg(
@@ -234,7 +244,7 @@ def build_cpg(
     # ---- stage: survey (read the parse-emitted partials — tiny files) -
     import polars as pl
 
-    sv: dict = {"m": {}, "td": {}, "ty": {}, "ns": {}, "ca": {}}
+    sv: dict = {"m": {}, "td": {}, "ty": {}, "ns": {}, "ca": {}, "rt": {}}
     sv_parts = list(
         read_union_split(parse_path, "survey").iter_batches(batch_format="pyarrow")
     )
@@ -252,81 +262,104 @@ def build_cpg(
         k for d in (sv["m"], sv["td"]) for k, c in d.items() if c >= 2
     )
     n_methods = len(sv["m"])
+    n_mt = n_methods + len(sv["td"])
     use_broadcast = (not force_shuffle_link) and n_methods <= broadcast_limit
+    known = frozenset(sv["m"].keys())
+    extra_types = set(sv["rt"].keys())
+    hot_keys = {k for k, c in sv["ca"].items() if c >= hot_key_threshold}
 
-    # ---- stage: link --------------------------------------------------
-    link_regime = "broadcast" if use_broadcast else "salted_shuffle"
-    if use_broadcast:
-        from ..stages.link import canonicalize_table
-
-        mt_parts = list(mt_ds().iter_batches(batch_format="pyarrow"))
-        canon_t = (
-            canonicalize_table(pa.concat_tables(mt_parts))
-            if mt_parts
-            else NODES_SCHEMA.empty_table()
-        )
-        m_mask = pc.equal(canon_t.column("label"), "METHOD")
-        methods_t = canon_t.filter(m_mask)
-        # first-wins per fqn (deterministic: sort by (fqn, id))
-        methods_t = methods_t.take(
-            pc.sort_indices(methods_t, sort_keys=[("full_name", "ascending"), ("id", "ascending")])
-        )
-        import numpy as np
-
-        fns = methods_t.column("full_name").to_numpy(zero_copy_only=False)
-        keepm = np.ones(len(fns), dtype=bool)
-        if len(fns):
-            keepm[1:] = fns[1:] != fns[:-1]
-        index_table = methods_t.filter(pa.array(keepm)).select(
-            ["full_name", "id", "signature"]
-        )
-        known = set(index_table.column("full_name").to_pylist())
-        canonical_mt_for_write = ray.data.from_arrow(canon_t) if canon_t.num_rows else None
-        salted = None
-        extra_types = {
-            sig.split("(")[0]
-            for sig in index_table.column("signature").to_pylist()
-            if sig and "(" in sig and sig.split("(")[0] not in ("", "ANY")
-        }
-        _mark("canonical_collect")
-    else:
-        # distributed canonicalization: shuffle ONLY rows whose full_name
-        # actually collides (dup survey keeps the Sort input tiny)
+    # ---- stage: canonicalize (both regimes, fully distributed) --------
+    # FullNameUniquenessPass analog: shuffle ONLY rows whose full_name
+    # actually collides (the dup survey keeps the Sort input tiny), then
+    # checkpoint — downstream consumers (index projection, node write,
+    # equivalence stage) read Parquet instead of re-executing lineage,
+    # and the driver never materializes METHOD/TYPE_DECL rows.
+    canon_path = os.path.join(out_dir, "canonical_mt")
+    if n_mt:
         dup_ref = ray.put(dup_fqns)
-        mt_unique = mt_ds().map_batches(
-            KeySetSplit,
-            fn_constructor_args=(dup_ref, "full_name", True),
-            batch_format="pyarrow",
-            concurrency=(1, 8),
-        )
-        if dup_fqns:
+
+        def canonical_factory():
+            mt_unique = mt_ds().map_batches(
+                keyset_split_fn(dup_ref, "full_name", True), batch_format="pyarrow"
+            )
+            if not dup_fqns:
+                return mt_unique
             mt_dups = (
                 mt_ds()
                 .map_batches(
-                    KeySetSplit,
-                    fn_constructor_args=(dup_ref, "full_name", False),
+                    keyset_split_fn(dup_ref, "full_name", False),
                     batch_format="pyarrow",
-                    concurrency=(1, 8),
                 )
                 .groupby("full_name")
                 .map_groups(canonicalize_group, batch_format="pyarrow")
             )
-            canonical_mt = mt_unique.union(mt_dups)
-        else:
-            canonical_mt = mt_unique
-        canon_path = os.path.join(out_dir, "canonical_mt")
-        checkpoint(lambda: canonical_mt, canon_path, "canonical_mt", parse_fp)
-        canonical_mt_for_write = ray.data.read_parquet(canon_path)
-        known = set(sv["m"].keys())
-        extra_types: set[str] = set()
-        salted = lambda facts: salted_call_link(  # noqa: E731
-            facts,
-            ray.data.read_parquet(canon_path),
-            hot_keys={k for k, c in sv["ca"].items() if c >= hot_key_threshold},
-            n_salts=n_salts,
-        )
+            return mt_unique.union(mt_dups)
 
-    if not use_broadcast:
+        checkpoint(canonical_factory, canon_path, "canonical_mt", parse_fp)
+        canonical_mt_for_write = ray.data.read_parquet(canon_path)
+    else:
+        canonical_mt_for_write = None
+    _mark("canonicalize")
+
+    # ---- stage: link --------------------------------------------------
+    # The TYPE_DECL inheritance projection (hierarchy for SAFEDISPATCH
+    # dynamic dispatch) is read driver-side straight off the canonical
+    # checkpoint's Parquet footers+columns — tiny (only declarations
+    # participating in inheritance), no Ray execution.
+    import pyarrow.dataset as pads
+
+    link_regime = "broadcast" if use_broadcast else "salted_shuffle"
+    if n_mt:
+        td_proj = (
+            pads.dataset(canon_path, format="parquet")
+            .to_table(
+                columns=["label", "full_name", "type_full_name"],
+                filter=(
+                    (pads.field("label") == "TYPE_DECL")
+                    & (pads.field("type_full_name") != "")
+                ),
+            )
+        )
+    else:
+        td_proj = pa.table(
+            {
+                "label": pa.array([], pa.string()),
+                "full_name": pa.array([], pa.string()),
+                "type_full_name": pa.array([], pa.string()),
+            }
+        )
+    from ..stages.link import build_dyn_candidates
+
+    dyn_fqn = build_dyn_candidates(td_proj, sv["ca"].keys(), known)
+    dyn_ref = ray.put(dyn_fqn)
+    if use_broadcast:
+        # broadcast regime: collect ONLY the 3-column method index
+        # projection (not full rows), ship it ONCE via ray.put — workers
+        # build the fqn->id dict once per process (per-worker cache).
+        if n_mt:
+            idx_t = (
+                pads.dataset(canon_path, format="parquet")
+                .to_table(
+                    columns=["label", "full_name", "id", "signature"],
+                    filter=pads.field("label") == "METHOD",
+                )
+                .select(["full_name", "id", "signature"])
+            )
+            # canonical names are unique; sort for deterministic layout
+            index_table = idx_t.take(
+                pc.sort_indices(idx_t, sort_keys=[("full_name", "ascending")])
+            )
+        else:
+            index_table = pa.table(
+                {
+                    "full_name": pa.array([], pa.string()),
+                    "id": pa.array([], pa.uint64()),
+                    "signature": pa.array([], pa.string()),
+                }
+            )
+        index_ref = ray.put(index_table)
+        _mark("index_projection")
+    else:
 
         def calls_proj():
             def _f(batch: pa.Table) -> pa.Table:
@@ -337,7 +370,17 @@ def build_cpg(
 
             return nodes_plain().map_batches(_f, batch_format="pyarrow")
 
-        link_edges = salted(calls_proj())
+        link_edges = salted_call_link(
+            calls_proj(),
+            ray.data.read_parquet(
+                canon_path, columns=["id", "label", "full_name", "signature"]
+            )
+            if n_mt
+            else ray.data.from_arrow(NODES_SCHEMA.empty_table()),
+            hot_keys=hot_keys,
+            n_salts=n_salts,
+            dyn_fqn_ref=dyn_ref,
+        )
 
     # dimensions + stubs — derived from the survey, zero extra passes
     stub_fqns = sorted(set(sv["ca"].keys()) - known)
@@ -392,47 +435,15 @@ def build_cpg(
 
     if use_broadcast:
         # fused: CALL/REF resolution + map-side dimension links in ONE
-        # scan of the node stream.  Plain TASKS with the index dict
-        # captured in the closure (Ray stores large closures in the
-        # object store once) — tasks use all CPUs immediately, no actor
-        # ramp-up.
-        from ..stages.link import CombinedLinker
+        # scan of the node stream.  Plain TASKS (instant full-CPU spread,
+        # no actor ramp-up) whose closure carries only ObjectRefs; the
+        # fqn->id dict is built once per worker process from the ray.put
+        # index table (per-worker cache in stages.link).
+        from ..stages.link import combined_linker_fn
 
-        index_dict = dict(
-            zip(
-                index_table.column("full_name").to_pylist(),
-                index_table.column("id").to_pylist(),
-            )
+        final_edges = all_nodes().map_batches(
+            combined_linker_fn(index_ref, dyn_ref), batch_format="pyarrow"
         )
-        # cross-document type recovery (iteration 2 of 2): resolved calls
-        # get their callee's return type (parsed off the signature)
-        ret_types = {
-            fqn: sig.split("(")[0]
-            for fqn, sig in zip(
-                index_table.column("full_name").to_pylist(),
-                index_table.column("signature").to_pylist(),
-            )
-            if sig and "(" in sig and sig.split("(")[0] not in ("", "ANY")
-        }
-
-        # SAFEDISPATCH candidate sets for dynamic dispatch (subclass
-        # overrides + superclass fallback) from the class hierarchy
-        from ..stages.link import build_dyn_candidates
-
-        dyn_candidates = build_dyn_candidates(
-            canon_t.filter(pc.equal(canon_t.column("label"), "TYPE_DECL")),
-            sv["ca"].keys(),
-            index_dict,
-        )
-
-        def _combined(batch: pa.Table) -> pa.Table:
-            linker = CombinedLinker.__new__(CombinedLinker)
-            linker.index = index_dict
-            linker.ret_types = ret_types
-            linker.dyn_candidates = dyn_candidates
-            return linker(batch)
-
-        final_edges = all_nodes().map_batches(_combined, batch_format="pyarrow")
     else:
         mapside_edges = all_nodes().map_batches(
             mapside_link_edges, batch_format="pyarrow"
@@ -542,5 +553,7 @@ def build_cpg(
         "link_regime": link_regime,
         "n_methods": n_methods,
         "n_stubs": len(stub_fqns),
+        "n_hot_keys": len(hot_keys),
+        "n_dyn_fqns": len(dyn_fqn),
         "resumed": False,
     }

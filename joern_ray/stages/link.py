@@ -349,32 +349,59 @@ def method_index_table(methods_ds) -> pa.Table:
     return t.filter(pa.array(keep))
 
 
-class CallLinker:
-    """Actor-pool stage over CALL / METHOD_REF node batches.
+def _ret_type_of(sig: str | None) -> str | None:
+    """Return type parsed off the "ret(args)" signature convention; None
+    when absent/ANY (the reference's dummy-type guard,
+    `XTypeRecovery.scala:94-111`)."""
+    if sig and "(" in sig:
+        r = sig.split("(")[0]
+        if r and r != "ANY":
+            return r
+    return None
 
-    __init__ receives the ray.put object ref of the method index table and
-    builds the fqn->id dict ONCE per actor (reference builds its index
-    lazily per pass, `LinkingUtil.scala:20-30`; `DynamicCallLinker.
-    initMaps`, `DynamicCallLinker.scala:44-51`).
+
+class CallLinker:
+    """Stateful linker over CALL / METHOD_REF node batches.
+
+    __init__ receives the ray.put object ref of the method index table
+    (full_name, id, signature) plus an optional ref of the SAFEDISPATCH
+    fqn -> [candidate fqn] map, and builds the lookup dicts ONCE per
+    actor/worker (reference builds its index lazily per pass,
+    `LinkingUtil.scala:20-30`; `DynamicCallLinker.initMaps`,
+    `DynamicCallLinker.scala:44-51`).
 
     Emits: CALL edges (call -> method/stub), REF edges (method_ref ->
     method/stub).  Misses become stub targets — never dropped silently
     (`logFailedDstLookup` analog is the stub row itself).
     """
 
-    # fqn -> sorted candidate id list for DYNAMIC_DISPATCH calls
-    # (SAFEDISPATCH candidate sets: own/superclass-fallback definition
-    # first, then subclass overrides — reference `DynamicCallLinker.
-    # scala:29-221`, comment :26-27; superclass fallback :146-171)
-    dyn_candidates: dict | None = None
-
-    def __init__(self, index_ref) -> None:
+    def __init__(self, index_ref, dyn_ref=None) -> None:
         import ray
 
         t: pa.Table = ray.get(index_ref) if not isinstance(index_ref, pa.Table) else index_ref
-        self.index: dict[str, int] = dict(
-            zip(t.column("full_name").to_pylist(), t.column("id").to_pylist())
+        names = t.column("full_name").to_pylist()
+        ids = t.column("id").to_pylist()
+        self.index: dict[str, int] = dict(zip(names, ids))
+        # fqn -> callee return type (cross-document half of type
+        # recovery; reference `XTypeRecovery.scala:25,94-111`)
+        self.ret_types: dict[str, str] = {}
+        if "signature" in t.column_names:
+            for fqn, sig in zip(names, t.column("signature").to_pylist()):
+                r = _ret_type_of(sig)
+                if r:
+                    self.ret_types[fqn] = r
+        # fqn -> candidate id list for DYNAMIC_DISPATCH calls
+        # (SAFEDISPATCH candidate sets — `DynamicCallLinker.scala:29-221`)
+        dynf = (
+            ray.get(dyn_ref)
+            if dyn_ref is not None and not isinstance(dyn_ref, dict)
+            else (dyn_ref or {})
         )
+        self.dyn_candidates: dict[str, list[int]] = {}
+        for fqn, cands in dynf.items():
+            ids_ = [self.index[c] for c in cands if c in self.index]
+            if ids_:
+                self.dyn_candidates[fqn] = ids_
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -450,17 +477,22 @@ class CallLinker:
 
 
 def build_dyn_candidates(
-    type_decls: "pa.Table", call_fqns, index: dict, max_depth: int = 16
-) -> dict:
+    type_decls: "pa.Table", call_fqns, known, max_depth: int = 16
+) -> dict[str, list[str]]:
     """SAFEDISPATCH candidate sets (reference `DynamicCallLinker.scala:
     29-221`): for call fqn "T.m" — T's own (or nearest superclass,
     fallback :146-171) definition first, then every subclass override
     (:26-27 candidate set = methods of all subclasses).
 
     `type_decls`: TYPE_DECL rows (full_name + ;-joined inherits in
-    type_full_name).  Closure is an iterative walk bounded by hierarchy
-    depth — the distributed analog would be the iterative INHERITS_FROM
-    self-join (SURVEY.md §2.4)."""
+    type_full_name) — only rows participating in inheritance matter, so
+    callers may pre-filter to non-empty type_full_name.  `known` is the
+    canonical METHOD full-name set (membership only).  Returns fqn ->
+    [candidate method fqns] (strings, regime-agnostic: the broadcast
+    linker maps them to ids via its index; the salted join re-keys fact
+    rows by candidate fqn).  Closure is an iterative walk bounded by
+    hierarchy depth — the distributed analog would be the iterative
+    INHERITS_FROM self-join (SURVEY.md §2.4)."""
     parents: dict[str, list[str]] = {}
     children: dict[str, list[str]] = {}
     for fqn, tfl in zip(
@@ -489,16 +521,16 @@ def build_dyn_candidates(
             frontier = nxt
         return out
 
-    dyn: dict[str, list[int]] = {}
+    dyn: dict[str, list[str]] = {}
     for fqn in call_fqns:
         if "." not in fqn or fqn.startswith("<operator>"):
             continue
         t, m = fqn.rsplit(".", 1)
-        if t not in parents and t not in children and f"{t}.{m}" not in index:
+        if t not in parents and t not in children and f"{t}.{m}" not in known:
             continue
-        cands: list[int] = []
-        if fqn in index:
-            cands.append(index[fqn])
+        cands: list[str] = []
+        if fqn in known:
+            cands.append(fqn)
         else:
             # superclass fallback: nearest ancestor defining m
             cur, hops = t, 0
@@ -508,17 +540,17 @@ def build_dyn_candidates(
                     break
                 cur = ps[0]
                 hops += 1
-                got = index.get(f"{cur}.{m}")
-                if got is not None:
-                    cands.append(got)
+                cand = f"{cur}.{m}"
+                if cand in known:
+                    cands.append(cand)
                     break
         for s in sorted(subclasses(t)):
-            got = index.get(f"{s}.{m}")
-            if got is not None and got not in cands:
-                cands.append(got)
-        if len(cands) > (1 if fqn in index else 0):
+            cand = f"{s}.{m}"
+            if cand in known and cand not in cands:
+                cands.append(cand)
+        if len(cands) > (1 if fqn in known else 0):
             dyn[fqn] = cands
-        elif cands and fqn not in index:
+        elif cands and fqn not in known:
             dyn[fqn] = cands  # pure superclass-fallback resolution
     return dyn
 
@@ -571,13 +603,11 @@ class CombinedLinker(CallLinker):
     + all map-side dimension links (mapside_link_edges) in ONE scan of
     the node stream — halves the Parquet scans feeding the edge write.
 
-    When `ret_types` (fqn -> return type) is set, resolved CALLs also get
-    an EVAL_TYPE edge to their callee's return type — the cross-document
-    half of type recovery (reference `XTypeRecovery` propagates types in
-    2 fixed iterations, `x2cpg/.../frontend/XTypeRecovery.scala:25,
-    94-111`; the per-unit SymbolTable half runs inside the parser)."""
-
-    ret_types: dict | None = None
+    Resolved CALLs/REFs also get an EVAL_TYPE edge to their callee's
+    return type — the cross-document half of type recovery (reference
+    `XTypeRecovery` propagates types in 2 fixed iterations,
+    `x2cpg/.../frontend/XTypeRecovery.scala:25,94-111`; the per-unit
+    SymbolTable half runs inside the parser)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         calls = batch.filter(
@@ -619,67 +649,173 @@ class CombinedLinker(CallLinker):
         return pa.concat_tables(parts)
 
 
+# Per-worker-process memo for task-based broadcast linking: Ray reuses
+# worker processes across map_batches tasks, so the (large) fqn->id dict
+# is built once per worker from the ray.put table — task scheduling
+# (instant full-CPU spread, graceful sharing with concurrent stages)
+# with actor-pool amortization.  Single-slot: a new index evicts the old.
+_WORKER_LINKER: dict = {}
+
+
+def combined_linker_fn(index_ref, dyn_ref=None):
+    """Task UDF factory: per-batch CombinedLinker backed by the
+    per-worker cache.  The closure carries only ObjectRefs (bytes)."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        key = index_ref.hex() if hasattr(index_ref, "hex") else str(id(index_ref))
+        lk = _WORKER_LINKER.get(key)
+        if lk is None:
+            _WORKER_LINKER.clear()
+            lk = CombinedLinker(index_ref, dyn_ref)
+            _WORKER_LINKER[key] = lk
+        return lk(batch)
+
+    return _fn
+
+
 # ---------------------------------------------------------------------------
 # Method linking: salted-shuffle regime (huge dimension side).
 # ---------------------------------------------------------------------------
 
+_SALT_SCHEMA = pa.schema(
+    [
+        pa.field("key", pa.string()),
+        pa.field("side", pa.string()),  # F fact | D dim
+        pa.field("nid", pa.uint64()),
+        pa.field("lab", pa.string()),  # CALL/METHOD_REF facts; METHOD dims
+        pa.field("fqn", pa.string()),
+        pa.field("sig", pa.string()),  # dim signature (EVAL_TYPE recovery)
+        # fact flag: 0 = plain (stub fallback + EVAL_TYPE); 1 = dyn-dispatch
+        # row keyed by a candidate fqn (no stub, no EVAL_TYPE) — mirrors the
+        # broadcast CallLinker's primary-vs-extra candidate semantics
+        pa.field("fx", pa.int8()),
+    ]
+)
 
-def salted_call_link(facts_ds, methods_ds, hot_keys: set[str], n_salts: int = 16):
+
+def salted_call_link(
+    facts_ds, methods_ds, hot_keys: set[str], n_salts: int = 16, dyn_fqn_ref=None
+):
     """Shuffle join CALL/METHOD_REF ⋈ METHOD on full_name with hot-key
     salting: fact rows get salt = hash(subj) % n_salts for hot keys (0
     otherwise); dimension rows for hot keys are replicated to every salt.
     Group sizes stay bounded no matter how hot `<operator>.assignment` or
     `printf` runs (SURVEY.md §7.3/§7.4-6).
 
-    Returns a Dataset of CALL/REF edge rows.
+    Full-featured regime parity with the broadcast linker:
+    - `dyn_fqn_ref` (ray.put of fqn -> [candidate fqns]) re-keys dynamic
+      calls to each SAFEDISPATCH candidate (extra fact rows, fx=1 — no
+      stub fallback since candidates are known-present);
+    - dims carry their signature, so resolved fx=0 facts additionally get
+      the EVAL_TYPE ret-type edge (`XTypeRecovery` cross-doc half).
+
+    Returns a Dataset of CALL/REF (+EVAL_TYPE) edge rows.
     """
+    hot_arr = pa.array(sorted(hot_keys) or ["\x00none"])
 
-    def tag_facts(batch: pa.Table) -> pa.Table:
-        """Vectorized: salt only hot keys; key = fqn + US + salt."""
-        import numpy as np
-        import polars as pl
+    class TagFacts:
+        """Fact tagger: dyn map fetched once per worker (via the
+        module-level memo when run as tasks); per-batch work is
+        vectorized for the plain majority, python loop only over the few
+        dynamic-dispatch rows."""
 
-        m = pc.and_(
-            pc.is_in(batch.column("label"), value_set=pa.array(["CALL", "METHOD_REF"])),
-            pc.not_equal(pc.coalesce(batch.column("method_full_name"), pa.scalar("")), ""),
-        )
-        b = batch.filter(m)
-        if b.num_rows == 0:
+        def __init__(self) -> None:
+            import ray
+
+            self.dyn = (
+                ray.get(dyn_fqn_ref)
+                if dyn_fqn_ref is not None and not isinstance(dyn_fqn_ref, dict)
+                else (dyn_fqn_ref or {})
+            )
+            self.dyn_keys = (
+                pa.array(sorted(self.dyn.keys())) if self.dyn else None
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import numpy as np
+            import polars as pl
+
+            m = pc.and_(
+                pc.is_in(
+                    batch.column("label"), value_set=pa.array(["CALL", "METHOD_REF"])
+                ),
+                pc.not_equal(
+                    pc.coalesce(batch.column("method_full_name"), pa.scalar("")), ""
+                ),
+            )
+            b = batch.filter(m)
+            if b.num_rows == 0:
+                return _SALT_SCHEMA.empty_table()
+            fqn = b.column("method_full_name").combine_chunks()
+            nid = (
+                b.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+            ).astype(np.uint64)
+            lab = b.column("lab").combine_chunks() if "lab" in b.column_names else b.column("label").combine_chunks()
+            if self.dyn_keys is not None:
+                dmask = pc.is_in(fqn, value_set=self.dyn_keys).to_numpy(
+                    zero_copy_only=False
+                )
+            else:
+                dmask = np.zeros(b.num_rows, dtype=bool)
+            plain = ~dmask
+            p_fqn = fqn.filter(pa.array(plain))
+            p_nid = nid[plain]
+            hot_mask = pc.is_in(p_fqn, value_set=hot_arr).to_numpy(zero_copy_only=False)
+            salt = np.where(hot_mask, p_nid % np.uint64(n_salts), np.uint64(0))
+            df = pl.DataFrame(
+                {"fqn": pl.from_arrow(p_fqn), "salt": salt.astype(np.int64)}
+            )
+            key = df.select(
+                (pl.col("fqn") + pl.lit("\x1f") + pl.col("salt").cast(pl.Utf8)).alias(
+                    "k"
+                )
+            )["k"].to_arrow().cast(pa.string())
+            keys = [key]
+            nids = [pa.array(p_nid, pa.uint64())]
+            labs = [lab.filter(pa.array(plain)).cast(pa.string())]
+            fqs = [p_fqn.cast(pa.string())]
+            fxs = [pa.nulls(0, pa.int8())] if len(key) == 0 else [
+                pa.array(np.zeros(len(key), dtype=np.int8), pa.int8())
+            ]
+            if dmask.any():
+                hot = set(hot_keys)
+                k2: list[str] = []
+                n2: list[int] = []
+                l2: list[str] = []
+                f2: list[str] = []
+                x2: list[int] = []
+                d_rows = np.nonzero(dmask)[0]
+                d_fqn = fqn.take(pa.array(d_rows)).to_pylist()
+                d_lab = lab.take(pa.array(d_rows)).to_pylist()
+                for row_i, (fq, lb) in enumerate(zip(d_fqn, d_lab)):
+                    this_nid = int(nid[d_rows[row_i]])
+                    for cand in self.dyn[fq]:
+                        s_ = this_nid % n_salts if cand in hot else 0
+                        k2.append(f"{cand}\x1f{s_}")
+                        n2.append(this_nid)
+                        l2.append(lb)
+                        f2.append(fq)
+                        # fx=0 only for the row keyed by the call's own fqn
+                        # (stub fallback + EVAL_TYPE apply there alone)
+                        x2.append(0 if cand == fq else 1)
+                keys.append(pa.array(k2, pa.string()))
+                nids.append(pa.array(n2, pa.uint64()))
+                labs.append(pa.array(l2, pa.string()))
+                fqs.append(pa.array(f2, pa.string()))
+                fxs.append(pa.array(np.array(x2, dtype=np.int8), pa.int8()))
+            n_total = sum(len(k) for k in keys)
             return pa.table(
                 {
-                    "key": pa.array([], pa.string()),
-                    "side": pa.array([], pa.string()),
-                    "nid": pa.array([], pa.uint64()),
-                    "lab": pa.array([], pa.string()),
-                    "fqn": pa.array([], pa.string()),
-                }
+                    "key": pa.concat_arrays(keys),
+                    "side": pa.array(["F"] * n_total, pa.string()),
+                    "nid": pa.concat_arrays(nids),
+                    "lab": pa.concat_arrays(labs),
+                    "fqn": pa.concat_arrays(fqs),
+                    "sig": pa.nulls(n_total, pa.string()),
+                    "fx": pa.concat_arrays(fxs),
+                },
+                schema=_SALT_SCHEMA,
             )
-        fqn = b.column("method_full_name").combine_chunks()
-        nid = b.column("nid").to_numpy(zero_copy_only=False) if "nid" in b.column_names else b.column("id").combine_chunks().to_numpy(zero_copy_only=False)
-        hot_mask = pc.is_in(fqn, value_set=pa.array(sorted(hot_keys) or ["\x00none"]))
-        salt = np.where(
-            hot_mask.to_numpy(zero_copy_only=False),
-            nid.astype(np.uint64) % np.uint64(n_salts),
-            np.uint64(0),
-        )
-        df = pl.DataFrame(
-            {
-                "fqn": pl.from_arrow(fqn),
-                "salt": salt.astype(np.int64),
-            }
-        )
-        key = df.select(
-            (pl.col("fqn") + pl.lit("\x1f") + pl.col("salt").cast(pl.Utf8)).alias("k")
-        )["k"].to_arrow()
-        return pa.table(
-            {
-                "key": key.cast(pa.string()),
-                "side": pa.array(["F"] * b.num_rows, pa.string()),
-                "nid": pa.array(nid.astype(np.uint64), pa.uint64()),
-                "lab": b.column("label").combine_chunks(),
-                "fqn": fqn,
-            }
-        )
 
     def tag_dims(batch: pa.Table) -> pa.Table:
         """Hot-key dimension rows replicate to every salt (vectorized for
@@ -689,8 +825,9 @@ def salted_call_link(facts_ds, methods_ds, hot_keys: set[str], n_salts: int = 16
 
         b = batch.filter(pc.equal(batch.column("label"), "METHOD"))
         fqn = b.column("full_name").combine_chunks()
+        sig = pc.coalesce(b.column("signature"), pa.scalar("")).combine_chunks() if "signature" in b.column_names else pa.nulls(b.num_rows, pa.string())
         nid = b.column("id").combine_chunks().to_numpy(zero_copy_only=False)
-        hot_mask_arr = pc.is_in(fqn, value_set=pa.array(sorted(hot_keys) or ["\x00none"]))
+        hot_mask_arr = pc.is_in(fqn, value_set=hot_arr)
         hm = hot_mask_arr.to_numpy(zero_copy_only=False)
         cold = b.filter(pc.invert(hot_mask_arr))
         cold_fqn = cold.column("full_name").combine_chunks()
@@ -701,18 +838,26 @@ def salted_call_link(facts_ds, methods_ds, hot_keys: set[str], n_salts: int = 16
             .cast(pa.string())
         ]
         nids = [cold.column("id").combine_chunks().cast(pa.uint64())]
-        fqs = [cold_fqn]
+        fqs = [cold_fqn.cast(pa.string())]
+        sigs = [
+            pc.coalesce(cold.column("signature"), pa.scalar("")).combine_chunks().cast(pa.string())
+            if "signature" in cold.column_names
+            else pa.nulls(cold.num_rows, pa.string())
+        ]
         hot_fqn = fqn.to_pylist()
-        k2, n2, f2 = [], [], []
+        hot_sig = sig.to_pylist() if isinstance(sig, (pa.Array, pa.ChunkedArray)) else [""] * len(hot_fqn)
+        k2, n2, f2, g2 = [], [], [], []
         for i in np.nonzero(hm)[0]:
             for s_ in range(n_salts):
                 k2.append(f"{hot_fqn[i]}\x1f{s_}")
                 n2.append(int(nid[i]))
                 f2.append(hot_fqn[i])
+                g2.append(hot_sig[i] or "")
         if k2:
             keys.append(pa.array(k2, pa.string()))
             nids.append(pa.array(n2, pa.uint64()))
             fqs.append(pa.array(f2, pa.string()))
+            sigs.append(pa.array(g2, pa.string()))
         key_col = pa.concat_arrays(keys)
         n_total = len(key_col)
         return pa.table(
@@ -721,9 +866,26 @@ def salted_call_link(facts_ds, methods_ds, hot_keys: set[str], n_salts: int = 16
                 "side": pa.array(["D"] * n_total, pa.string()),
                 "nid": pa.concat_arrays(nids),
                 "lab": pa.array(["METHOD"] * n_total, pa.string()),
-                "fqn": pa.concat_arrays([f.cast(pa.string()) for f in fqs]),
-            }
+                "fqn": pa.concat_arrays(fqs),
+                "sig": pa.concat_arrays(sigs),
+                "fx": pa.array(np.zeros(n_total, dtype=np.int8), pa.int8()),
+            },
+            schema=_SALT_SCHEMA,
         )
+
+    # plain TASKS with a per-worker TagFacts memo (keyed on the dyn ref):
+    # no pinned actor CPUs, so concurrent stages (dims tagging, the Sort)
+    # never starve at low CPU counts
+    tf_key = (
+        dyn_fqn_ref.hex() if hasattr(dyn_fqn_ref, "hex") else str(id(dyn_fqn_ref))
+    ) + f"/{n_salts}/{len(hot_keys)}"
+
+    def tag_facts(batch: pa.Table) -> pa.Table:
+        tf = _WORKER_LINKER.get(tf_key)
+        if tf is None:
+            tf = TagFacts()
+            _WORKER_LINKER[tf_key] = tf
+        return tf(batch)
 
     facts = facts_ds.map_batches(tag_facts, batch_format="pyarrow")
     dims = methods_ds.map_batches(tag_dims, batch_format="pyarrow")
@@ -732,7 +894,8 @@ def salted_call_link(facts_ds, methods_ds, hot_keys: set[str], n_salts: int = 16
     union = facts.union(dims).materialize()
 
     def join_group(batch: pa.Table) -> pa.Table:
-        """Vectorized per-group emit: min dim id (or stub) to all facts."""
+        """Vectorized per-group emit: min dim id (or stub) to all facts;
+        resolved fx=0 facts also get the callee-ret-type EVAL_TYPE edge."""
         import numpy as np
 
         side = batch.column("side")
@@ -742,32 +905,84 @@ def salted_call_link(facts_ds, methods_ds, hot_keys: set[str], n_salts: int = 16
         facts_b = batch.filter(fmask)
         if facts_b.num_rows == 0:
             return EDGES_SCHEMA.empty_table()
+        parts: list[pa.Table] = []
         if dims_b.num_rows:
-            tgt = int(pc.min(dims_b.column("nid")).as_py())
+            nids_d = dims_b.column("nid").to_numpy(zero_copy_only=False)
+            j = int(np.argmin(nids_d))
+            tgt = int(nids_d[j])
             obj = np.full(facts_b.num_rows, tgt, dtype=np.uint64)
-        else:
-            # all facts in a group share the fqn -> one stub id
-            obj = np.full(
-                facts_b.num_rows,
-                stub_id(facts_b.column("fqn")[0].as_py()),
-                dtype=np.uint64,
+            subj = facts_b.column("nid").combine_chunks().cast(pa.uint64())
+            pred = pc.if_else(
+                pc.equal(facts_b.column("lab"), "CALL"),
+                pa.scalar("CALL"),
+                pa.scalar("REF"),
             )
-        pred = pc.if_else(
-            pc.equal(facts_b.column("lab"), "CALL"),
-            pa.scalar("CALL"),
-            pa.scalar("REF"),
-        )
-        return pa.table(
-            {
-                "subj": facts_b.column("nid").combine_chunks().cast(pa.uint64()),
-                "pred": pred if isinstance(pred, pa.Array) else pred.combine_chunks(),
-                "obj": pa.array(obj, pa.uint64()),
-                "variable": pa.nulls(facts_b.num_rows, pa.string()),
-            },
-            schema=EDGES_SCHEMA,
-        )
+            parts.append(
+                pa.table(
+                    {
+                        "subj": subj,
+                        "pred": pred if isinstance(pred, pa.Array) else pred.combine_chunks(),
+                        "obj": pa.array(obj, pa.uint64()),
+                        "variable": pa.nulls(facts_b.num_rows, pa.string()),
+                    },
+                    schema=EDGES_SCHEMA,
+                )
+            )
+            ret = _ret_type_of(dims_b.column("sig")[j].as_py())
+            if ret:
+                ev = facts_b.filter(pc.equal(facts_b.column("fx"), 0))
+                if ev.num_rows:
+                    tid = type_id(ret)
+                    parts.append(
+                        pa.table(
+                            {
+                                "subj": ev.column("nid").combine_chunks().cast(pa.uint64()),
+                                "pred": pa.array(["EVAL_TYPE"] * ev.num_rows, pa.string()),
+                                "obj": pa.array([tid] * ev.num_rows, pa.uint64()),
+                                "variable": pa.nulls(ev.num_rows, pa.string()),
+                            },
+                            schema=EDGES_SCHEMA,
+                        )
+                    )
+        else:
+            # stub fallback applies only to fx=0 rows (dyn candidate rows
+            # are known-present; a missing one means the candidate lived
+            # in another salt — drop, the fx=0 row covers the call)
+            fb = facts_b.filter(pc.equal(facts_b.column("fx"), 0))
+            if fb.num_rows == 0:
+                return EDGES_SCHEMA.empty_table()
+            obj = np.full(
+                fb.num_rows, stub_id(fb.column("fqn")[0].as_py()), dtype=np.uint64
+            )
+            pred = pc.if_else(
+                pc.equal(fb.column("lab"), "CALL"),
+                pa.scalar("CALL"),
+                pa.scalar("REF"),
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "subj": fb.column("nid").combine_chunks().cast(pa.uint64()),
+                        "pred": pred if isinstance(pred, pa.Array) else pred.combine_chunks(),
+                        "obj": pa.array(obj, pa.uint64()),
+                        "variable": pa.nulls(fb.num_rows, pa.string()),
+                    },
+                    schema=EDGES_SCHEMA,
+                )
+            )
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
     return union.groupby("key").map_groups(join_group, batch_format="pyarrow")
+
+
+def _fixed_pool(frac: float = 0.5, cap: int = 16) -> int:
+    """Fixed actor-pool size off the cluster CPU count — autoscaling
+    pools starting at 1 never ramp for minutes-long stages (measured;
+    BASELINE.md round-1 notes)."""
+    import ray
+
+    n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(cap, int(n * frac)))
 
 
 def key_count_survey(ds, column: str, threshold: int) -> set[str]:

@@ -7,7 +7,13 @@ associatively).
   'td' TYPE_DECL full_name counts  (dup detection)
   'ty' distinct type fqns (;-exploded — TypeNodePass union semantics)
   'ns' distinct namespace-block names
-  'ca' distinct CALL/METHOD_REF method_full_names (stub derivation)
+  'ca' CALL/METHOD_REF method_full_name COUNTS — true per-batch call
+       counts (value_counts, not distinct-per-batch), so the summed
+       totals are real call-site frequencies and the salted join's
+       hot-key threshold compares against actual skew
+  'rt' distinct return types parsed off METHOD signatures (the TYPE
+       dimension needs them for call-site EVAL_TYPE type recovery in
+       BOTH link regimes)
 
 The parse stage emits these rows INTO its checkpoint (row_kind=survey),
 so the link stage reads a few tiny files instead of re-scanning the node
@@ -61,11 +67,24 @@ def survey_partial(batch: pa.Table) -> pa.Table:
     calls = batch.filter(
         pc.is_in(labels, value_set=pa.array(["CALL", "METHOD_REF"]))
     ).column("method_full_name")
-    for v in pc.unique(calls).to_pylist():
+    cvc = calls.value_counts()
+    for v, c in zip(cvc.field("values").to_pylist(), cvc.field("counts").to_pylist()):
         if v:
             ks.append("ca")
             keys.append(v)
-            cs.append(1)
+            cs.append(c)
+    # distinct return types off METHOD signatures ("ret(args)" convention)
+    msig = batch.filter(pc.equal(labels, "METHOD")).column("signature")
+    rts: set[str] = set()
+    for s in pc.unique(msig).to_pylist():
+        if s and "(" in s:
+            r = s.split("(")[0]
+            if r and r != "ANY":
+                rts.add(r)
+    for v in sorted(rts):
+        ks.append("rt")
+        keys.append(v)
+        cs.append(1)
     return pa.table(
         {
             "kind": pa.array(ks, pa.string()),

@@ -186,9 +186,11 @@ def test_rejects_surface_in_parse_output(ray_session):
     assert nodes.column("label").to_pylist() == ["FILE"]
 
 
-def test_shuffle_link_regime_matches_broadcast(ray_session):
-    """force_shuffle_link produces the same CALL-edge multiset as the
-    broadcast regime (the two regimes must agree)."""
+def test_shuffle_link_regime_matches_broadcast(ray_session, cpg):
+    """force_shuffle_link produces the same FULL edge multiset (every
+    pred — CALL, REF, EVAL_TYPE, SOURCE_FILE, INHERITS_FROM, overlays)
+    as the broadcast regime: the regime intended for the largest inputs
+    must not produce a poorer graph."""
     import ray.data
 
     from joern_ray.pipelines.cpg import build_cpg, read_edges
@@ -205,7 +207,7 @@ def test_shuffle_link_regime_matches_broadcast(ray_session):
     )
     assert res["link_regime"] == "salted_shuffle"
 
-    def call_pairs(out_dir):
+    def edge_multiset(out_dir):
         t = pa.concat_tables(
             list(
                 read_edges(out_dir, ["subj", "pred", "obj"]).iter_batches(
@@ -213,11 +215,85 @@ def test_shuffle_link_regime_matches_broadcast(ray_session):
                 )
             )
         )
-        t = t.filter(pc.equal(t.column("pred"), "CALL"))
-        return sorted(zip(t.column("subj").to_pylist(), t.column("obj").to_pylist()))
+        return collections.Counter(
+            zip(
+                t.column("subj").to_pylist(),
+                t.column("pred").to_pylist(),
+                t.column("obj").to_pylist(),
+            )
+        )
 
     # compare against the broadcast build from the module fixture dir
-    assert call_pairs(out) == call_pairs(OUT)
+    shuffle_edges = edge_multiset(out)
+    broadcast_edges = edge_multiset(OUT)
+    only_b = broadcast_edges - shuffle_edges
+    only_s = shuffle_edges - broadcast_edges
+    assert not only_b and not only_s, (
+        f"broadcast-only: {list(only_b.items())[:5]}, "
+        f"shuffle-only: {list(only_s.items())[:5]}"
+    )
+
+
+def test_hot_key_salting_activates_and_stays_correct(ray_session):
+    """Plant one fqn in > threshold call sites: hot-key detection must
+    trigger (survey counts CALLS, not batches) and the salted join must
+    still produce exactly one correct CALL edge per site."""
+    import ray.data
+
+    from joern_ray.pipelines.cpg import build_cpg
+
+    # 30 docs, each calling hot_fn() 4 times -> 120 calls to one fqn
+    docs = []
+    for i in range(30):
+        code = "int hot_fn(int v) { return v; }\n" if i == 0 else ""
+        code += (
+            f"int use_{i}(int a) {{ "
+            + " ".join(f"hot_fn({j});" for j in range(4))
+            + " return a; }\n"
+        )
+        docs.append(
+            f'<html><body><pre><code class="language-c">{code}</code></pre></body></html>'
+        )
+    t = pa.table(
+        {
+            "url": [f"https://hot/{i}" for i in range(30)],
+            "warc_ts": pa.array(list(range(30)), pa.timestamp("us")),
+            "html": pa.array([d.encode() for d in docs], pa.large_binary()),
+            "text": [""] * 30,
+            "lang": ["en"] * 30,
+        }
+    )
+    out = "/tmp/joern_ray_test_hotkey"
+    shutil.rmtree(out, ignore_errors=True)
+    res = build_cpg(
+        lambda columns: ray.data.from_arrow(t),
+        out,
+        "hotkey-30",
+        num_partitions=2,
+        parse_concurrency=2,
+        force_shuffle_link=True,
+        hot_key_threshold=100,
+        n_salts=4,
+    )
+    assert res["n_hot_keys"] >= 1  # hot_fn crossed the threshold
+    nodes = _read_all(ray_session, res["nodes_path"])
+    edges = _read_all(
+        ray_session, res["edges_path"], columns=["subj", "pred", "obj", "variable"]
+    )
+    hot_def = nodes.filter(
+        pc.and_(
+            pc.equal(nodes.column("label"), "METHOD"),
+            pc.equal(nodes.column("full_name"), "hot_fn"),
+        )
+    )
+    assert hot_def.num_rows == 1
+    hot_id = hot_def.column("id")[0].as_py()
+    call_edges = edges.filter(
+        pc.and_(pc.equal(edges.column("pred"), "CALL"), pc.equal(edges.column("obj"), hot_id))
+    )
+    # every one of the 120 salted call sites resolved to the single def
+    assert call_edges.num_rows == 120
+    assert len(set(call_edges.column("subj").to_pylist())) == 120
 
 
 def test_cross_document_call_link(ray_session):
