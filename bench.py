@@ -95,18 +95,24 @@ def run_cpg_build(num_cpus: int) -> dict:
     wall = time.perf_counter() - t0
     from joern_ray.io.checkpoint import _footer_row_count
 
-    nodes_manifest = json.load(open(os.path.join(res["nodes_path"], "_manifest.json")))
     linked_manifest = json.load(
         open(os.path.join(res["edges_linked_path"], "_manifest.json"))
+    )
+    # nodes are multi-root (parse nodes + canonical mt + dims — never
+    # rewritten); count from Parquet footers, no data scan
+    node_rows = sum(
+        _footer_row_count(p)[0]
+        for p in (
+            os.path.join(res["parse_path"], "row_kind=node"),
+            os.path.join(res["out_dir"], "canonical_mt"),
+            res["dims_path"],
+        )
+        if os.path.isdir(p)
     )
     parse_edge_rows, _ = _footer_row_count(
         os.path.join(res["parse_path"], "row_kind=edge")
     )
-    n_rows = (
-        nodes_manifest["total_rows"]
-        + linked_manifest["total_rows"]
-        + parse_edge_rows
-    )
+    n_rows = node_rows + linked_manifest["total_rows"] + parse_edge_rows
     return {
         "sec": wall,
         "rows": n_rows,

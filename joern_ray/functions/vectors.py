@@ -10,6 +10,8 @@ hash-bucketed into a fixed dimension — runs fused into a parse pass
 
 from __future__ import annotations
 
+from ..util import resolve_pool
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -36,41 +38,77 @@ def method_feature_vector(method: PNode, dim: int = VECTOR_DIM) -> np.ndarray:
 
 class MethodVectorizer:
     """Actor-pool stage: fragments -> (url, fragment_idx,
-    method_full_name, vector) rows."""
+    method_full_name, vector) rows.
 
-    def __init__(self, dim: int = VECTOR_DIM) -> None:
+    Content-hash template cache (same trick as `ParseFragments`): a
+    fragment's feature vectors are url-independent, and its method
+    full-names only embed the url through the `url#idx` key — so parse
+    once per distinct content under a sentinel url and re-instance by
+    string substitution for every duplicate (web corpora are dup-heavy).
+    """
+
+    _SENT_URL = "\x00SENTINEL"
+    _SENT_KEY = "\x00SENTINEL#0"
+
+    def __init__(self, dim: int = VECTOR_DIM, cache_size: int = 4096) -> None:
         self.parsers = {d: FragmentParser(d) for d in ("c", "cpp", "java", "javascript")}
         self.dim = dim
+        self.cache: dict = {}
+        self.cache_size = cache_size
+
+    def _template(self, code: str, lang: str, chash) -> list | None:
+        key = (chash, lang)
+        if key in self.cache:
+            return self.cache[key]
+        parser = self.parsers.get(lang)
+        if parser is None:
+            return None
+        try:
+            root = parser.parse(code, self._SENT_URL, 0)
+        except (ParseError, RecursionError):
+            self.cache[key] = None
+            return None
+
+        def methods(n: PNode):
+            if n.label == "METHOD":
+                yield n
+            for c in n.children:
+                yield from methods(c)
+
+        tmpl = [
+            (m.full_name, method_feature_vector(m, self.dim).tolist())
+            for m in methods(root)
+        ]
+        if len(self.cache) >= self.cache_size:
+            self.cache.clear()
+        self.cache[key] = tmpl
+        return tmpl
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "row_kind" in batch.column_names:
             batch = batch.filter(pc.equal(batch.column("row_kind"), "fragment"))
         o_url, o_idx, o_fqn, o_vec = [], [], [], []
-        for url, idx, lang, code in zip(
+        hashes = (
+            batch.column("content_hash").to_pylist()
+            if "content_hash" in batch.column_names
+            else [hash64(c) for c in batch.column("code").to_pylist()]
+        )
+        for url, idx, lang, code, chash in zip(
             batch.column("url").to_pylist(),
             batch.column("fragment_idx").to_pylist(),
             batch.column("frag_lang").to_pylist(),
             batch.column("code").to_pylist(),
+            hashes,
         ):
-            parser = self.parsers.get(lang)
-            if parser is None:
+            tmpl = self._template(code, lang, chash)
+            if not tmpl:
                 continue
-            try:
-                root = parser.parse(code, url, idx)
-            except (ParseError, RecursionError):
-                continue
-
-            def methods(n: PNode):
-                if n.label == "METHOD":
-                    yield n
-                for c in n.children:
-                    yield from methods(c)
-
-            for m in methods(root):
+            frag_key = f"{url}#{idx}"
+            for fqn, vec in tmpl:
                 o_url.append(url)
                 o_idx.append(idx)
-                o_fqn.append(m.full_name)
-                o_vec.append(method_feature_vector(m, self.dim).tolist())
+                o_fqn.append(fqn.replace(self._SENT_KEY, frag_key))
+                o_vec.append(vec)
         return pa.table(
             {
                 "url": pa.array(o_url, pa.string()),
@@ -81,14 +119,22 @@ class MethodVectorizer:
         )
 
 
-def method_vectors(docs_ds, dim: int = VECTOR_DIM, concurrency=(1, 8)):
+def method_vectors(docs_ds, dim: int = VECTOR_DIM, concurrency=None):
     from ..stages.extract import detect_fragments_batch
 
-    return docs_ds.map_batches(
-        detect_fragments_batch, batch_format="pyarrow"
-    ).map_batches(
+    return method_vectors_from_fragments(
+        docs_ds.map_batches(detect_fragments_batch, batch_format="pyarrow"),
+        dim=dim,
+        concurrency=resolve_pool(concurrency),
+    )
+
+
+def method_vectors_from_fragments(frags_ds, dim: int = VECTOR_DIM, concurrency=4):
+    """Vectors straight off a fragments Dataset (e.g. the cached fragment
+    checkpoint) — skips corpus re-generation and re-detection."""
+    return frags_ds.map_batches(
         MethodVectorizer,
         fn_constructor_kwargs={"dim": dim},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=resolve_pool(concurrency),
     )

@@ -17,6 +17,8 @@ regime for frontiers too large to broadcast.)
 
 from __future__ import annotations
 
+from ..util import resolve_pool
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -80,7 +82,7 @@ def reachable_by(
             _FrontierFilter,
             fn_constructor_args=(fref, preds, direction),
             batch_format="pyarrow",
-            concurrency=(1, 8),
+            concurrency=resolve_pool(None),
         )
         new_frontier: set[int] = set()
         for b in hits.iter_batches(batch_format="pyarrow"):

@@ -12,6 +12,8 @@ from the materialized node/edge Parquet.
 
 from __future__ import annotations
 
+from ..util import resolve_pool
+
 import json
 
 import pyarrow as pa
@@ -133,7 +135,7 @@ class DotExporter:
         )
 
 
-def export_dot(docs_ds, repr_: str = "ast", concurrency=(1, 8)):
+def export_dot(docs_ds, repr_: str = "ast", concurrency=None):
     """docs -> detected fragments -> per-method dot rows (streams)."""
     from ..stages.extract import detect_fragments_batch
 
@@ -143,7 +145,7 @@ def export_dot(docs_ds, repr_: str = "ast", concurrency=(1, 8)):
         DotExporter,
         fn_constructor_kwargs={"repr_": repr_},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=resolve_pool(concurrency),
     )
 
 

@@ -57,16 +57,7 @@ _KEEP = {
 }
 
 
-def edges_paths(out_dir: str) -> list[str]:
-    """The final edges table is LOGICALLY one partitioned table over two
-    physical roots: parse-time AST/overlay edges (already hive-partitioned
-    by part at parse — never re-shuffled) + the linker-derived edges
-    (partition-written after linking).  Returns the concrete parquet file
-    list (read_parquet accepts files, not directory lists)."""
-    roots = [
-        os.path.join(out_dir, "edges"),
-        os.path.join(out_dir, "parse", "row_kind=edge"),
-    ]
+def _parquet_files(roots: list[str]) -> list[str]:
     files: list[str] = []
     for root in roots:
         for dirpath, _dirs, names in os.walk(root):
@@ -74,6 +65,47 @@ def edges_paths(out_dir: str) -> list[str]:
                 os.path.join(dirpath, f) for f in names if f.endswith(".parquet")
             )
     return sorted(files)
+
+
+def edges_paths(out_dir: str) -> list[str]:
+    """The final edges table is LOGICALLY one partitioned table over two
+    physical roots: parse-time AST/overlay edges (already hive-partitioned
+    by part at parse — never re-shuffled) + the linker-derived edges
+    (partition-written after linking).  Returns the concrete parquet file
+    list (read_parquet accepts files, not directory lists)."""
+    return _parquet_files(
+        [
+            os.path.join(out_dir, "edges"),
+            os.path.join(out_dir, "parse", "row_kind=edge"),
+        ]
+    )
+
+
+def nodes_paths(out_dir: str) -> list[str]:
+    """The final nodes table is LOGICALLY one table over three physical
+    roots — plain parse-time nodes, canonicalized METHOD/TYPE_DECL rows,
+    and the survey-derived dimension/stub rows.  NOTHING is rewritten:
+    at 10^12 nodes, re-shuffling every node into a second copy just to
+    co-locate it is the single largest avoidable write (observed
+    superlinear at 600k docs); the checkpoints are already deterministic,
+    manifested and resumable, so they ARE the output."""
+    return _parquet_files(
+        [
+            os.path.join(out_dir, "parse", "row_kind=node"),
+            os.path.join(out_dir, "canonical_mt"),
+            os.path.join(out_dir, "dims"),
+        ]
+    )
+
+
+def read_nodes(out_dir: str, columns: list[str] | None = None):
+    """Read the full node set (all physical roots) with a fixed column
+    projection so mixed physical schemas unify."""
+    import ray.data
+
+    return ray.data.read_parquet(
+        nodes_paths(out_dir), columns=columns or list(NODES_SCHEMA.names)
+    )
 
 
 def read_edges(out_dir: str, columns: list[str] | None = None):
@@ -170,17 +202,18 @@ def build_cpg(
 
     os.makedirs(out_dir, exist_ok=True)
     parse_path = os.path.join(out_dir, "parse")
-    nodes_path = os.path.join(out_dir, "nodes")
+    dims_path = os.path.join(out_dir, "dims")
     edges_path = os.path.join(out_dir, "edges")
 
     # ---- stage: parse (pure map chain, streams) -----------------------
-    # FIXED-size actor pool sized to the cluster: an autoscaling pool
-    # starting at 1 ramps too slowly for a minutes-long stage, and Ray
-    # fuses the whole upstream chain into the pool, so the ramp gates
-    # the entire parse (observed: identical wall time at 8 and 32 CPUs).
+    # FIXED-size actor pool sized to ~3/4 of the cluster: an autoscaling
+    # pool starting at 1 ramps too slowly for a minutes-long stage, and a
+    # pool of n_cpus-1 PINS those CPUs, leaving the concurrent Parquet
+    # write tasks a single slot — measured 23s -> 13s at 32 CPUs for the
+    # same input just by leaving 1/4 of the CPUs to the write stage.
     if parse_concurrency is None:
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
-        eff_parse_concurrency: int | tuple = max(2, n_cpus - 1)
+        eff_parse_concurrency: int | tuple = max(2, (n_cpus * 3) // 4)
     else:
         eff_parse_concurrency = parse_concurrency
 
@@ -226,12 +259,15 @@ def build_cpg(
     _mark("parse")
     parse_fp = f"{fingerprint}/parse"
 
-    if manifest_matches(nodes_path, parse_fp) and manifest_matches(edges_path, parse_fp):
+    # dims is the LAST artifact written, so (dims + edges) matching means
+    # the whole chain (canonical included) completed for this fingerprint
+    if manifest_matches(dims_path, parse_fp) and manifest_matches(edges_path, parse_fp):
         return {
             "out_dir": out_dir,
-            "nodes_path": nodes_path,
+            "nodes_path": nodes_paths(out_dir),
             "edges_path": edges_paths(out_dir),
             "edges_linked_path": edges_path,
+            "dims_path": dims_path,
             "parse_path": parse_path,
             "resumed": True,
         }
@@ -424,9 +460,26 @@ def build_cpg(
         }
         for f in stub_fqns
     ]
-    dims_ds = ray.data.from_arrow(rows_to_table(dim_rows, NODES_SCHEMA))
+    # ---- stage: write -------------------------------------------------
+    # The final NODES table is never rewritten: the parse checkpoint
+    # (plain nodes), canonical_mt checkpoint and the tiny dims file
+    # below ARE the output roots (`nodes_paths`) — re-shuffling 10^8+
+    # already-deterministic node rows into a second copy was the
+    # measured superlinear cost at 600k docs and is pure waste at
+    # 100 TB.  Only the small dims table and the linker-derived edges
+    # get written here.
+    import pyarrow.parquet as pq
 
-    # ---- stage: write (partitioned, per-partition manifests) ----------
+    from ..io.checkpoint import write_manifest
+
+    dims_t = rows_to_table(dim_rows, NODES_SCHEMA)
+    os.makedirs(dims_path, exist_ok=True)
+    _dims_file = os.path.join(dims_path, "dims.parquet")
+    pq.write_table(dims_t, _dims_file + ".tmp")
+    os.replace(_dims_file + ".tmp", _dims_file)
+    # manifest written AFTER the edges write below (dims manifest is the
+    # completion marker for the whole chain)
+
     def all_nodes():
         base = nodes_plain()
         if canonical_mt_for_write is not None:
@@ -449,10 +502,8 @@ def build_cpg(
             mapside_link_edges, batch_format="pyarrow"
         )
         final_edges = link_edges.union(mapside_edges)
-    final_nodes = all_nodes().union(dims_ds)
 
-    # the two writes are independent — run them concurrently so their
-    # executions interleave instead of serializing driver-side
+    # edges write + MinHash equivalence run concurrently (independent)
     import threading
 
     errs: list[BaseException] = []
@@ -463,9 +514,7 @@ def build_cpg(
         except BaseException as e:  # noqa: BLE001
             errs.append(e)
 
-    t1 = threading.Thread(target=_w, args=(final_nodes, nodes_path, "nodes"))
     t2 = threading.Thread(target=_w, args=(final_edges, edges_path, "edges"))
-    t1.start()
     t2.start()
 
     # ---- stage: entity equivalence (MinHash collapse; north star:
@@ -509,46 +558,54 @@ def build_cpg(
                     1, min(24, int(ray.cluster_resources().get("CPU", 8)) - 2)
                 ),
             )
-            parts_ = list(out.iter_batches(batch_format="pyarrow"))
-            t = (
-                pa.concat_tables(parts_)
-                if parts_
-                else pa.table(
-                    {"method_id": pa.array([], pa.int64()), "canonical_id": pa.array([], pa.int64())}
+
+            # keep only actually-collapsed members (canonical != self);
+            # the collapse mapping is written DISTRIBUTED (sorted for
+            # determinism) — at web scale it is O(duplicated methods)
+            # and must never pass through the driver
+            def collapsed_only(batch: pa.Table) -> pa.Table:
+                b = batch.filter(
+                    pc.not_equal(
+                        batch.column("method_id"), batch.column("canonical_id")
+                    )
                 )
+                return b.rename_columns(["method_id", "entity_id"])
+
+            import shutil as _shutil
+
+            if os.path.isdir(equiv_path):
+                _shutil.rmtree(equiv_path)
+            (
+                # materialize first: Ray's sort samples boundaries in an
+                # extra pass that would re-execute the minhash lineage
+                out.map_batches(collapsed_only, batch_format="pyarrow")
+                .materialize()
+                .sort("method_id")
+                .write_parquet(equiv_path)
             )
-            # keep only actually-collapsed members (canonical != self)
-            t = t.filter(
-                pc.not_equal(t.column("method_id"), t.column("canonical_id"))
-            ).rename_columns(["method_id", "entity_id"])
-            t = t.take(pc.sort_indices(t, sort_keys=[("method_id", "ascending")]))
-            os.makedirs(equiv_path, exist_ok=True)
-            import pyarrow.parquet as pq
-
-            pq.write_table(t, os.path.join(equiv_path, "equivalences.parquet"))
-            from ..io.checkpoint import write_manifest
-
-            write_manifest(equiv_path, "equivalences", parse_fp, 0.0)
-            eq_box[0] = t
+            os.makedirs(equiv_path, exist_ok=True)  # empty result edge case
+            m = write_manifest(equiv_path, "equivalences", parse_fp, 0.0)
+            eq_box[0] = m["rows"]
         except BaseException as e:  # noqa: BLE001
             errs.append(e)
 
     t3 = threading.Thread(target=_equiv)
     t3.start()
-    t1.join()
     t2.join()
     t3.join()
-    eq_t = eq_box[0]
     _mark("writes")
     if errs:
         raise errs[0]
+    # dims manifest last: its presence marks the whole chain complete
+    write_manifest(dims_path, "dims", parse_fp, 0.0)
     return {
-        "equivalences_path": equiv_path if eq_t is not None else None,
-        "n_collapsed_methods": eq_t.num_rows if eq_t is not None else 0,
+        "equivalences_path": equiv_path if eq_box[0] is not None else None,
+        "n_collapsed_methods": eq_box[0] or 0,
         "out_dir": out_dir,
-        "nodes_path": nodes_path,
+        "nodes_path": nodes_paths(out_dir),
         "edges_path": edges_paths(out_dir),
         "edges_linked_path": edges_path,
+        "dims_path": dims_path,
         "parse_path": parse_path,
         "link_regime": link_regime,
         "n_methods": n_methods,

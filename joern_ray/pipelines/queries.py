@@ -28,12 +28,20 @@ def _collect(ds, schema: "pa.Schema | None" = None) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+def _strip_meta(batch: pa.Table) -> pa.Table:
+    """Drop the pandas metadata blob the testdata parquet carries:
+    `hash(pa.Schema)` raises on it ("unhashable type: dict"), which
+    disables Ray's schema deduplication on every concat (observed
+    warning spam in bench logs).  Zero-copy."""
+    return batch.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
     return ray.data.read_parquet(
         os.path.join(sf_dir, f"{table}.parquet"), columns=columns
-    )
+    ).map_batches(_strip_meta, batch_format="pyarrow")
 
 
 def _docs_count_for(sf_dir: str) -> int:
@@ -138,23 +146,51 @@ def cpg_call_resolution(sf_dir: str) -> pa.Table:
         )
         return batch.filter(m).select(["id"])
 
-    stubs = set()
-    for b in nodes.map_batches(stub_ids, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
-        stubs.update(b.column("id").to_pylist())
+    stub_parts = list(
+        nodes.map_batches(stub_ids, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    stub_arr = (
+        pa.concat_tables(stub_parts).column("id").combine_chunks()
+        if stub_parts
+        else pa.array([], pa.uint64())
+    )
     edges = ray.data.read_parquet(res["edges_path"], columns=["pred", "obj"])
-    resolved = unresolved = 0
-    for b in edges.iter_batches(batch_format="pyarrow"):
-        m = pc.equal(b.column("pred"), "CALL")
-        objs = b.filter(m).column("obj").to_pylist()
-        for o in objs:
-            if o in stubs:
-                unresolved += 1
-            else:
-                resolved += 1
+
+    # distributed partial counts (vectorized is_in per batch), tiny result
+    def partial(b: pa.Table) -> pa.Table:
+        objs = b.filter(pc.equal(b.column("pred"), "CALL")).column("obj")
+        n_total = len(objs)
+        n_stub = (
+            pc.sum(pc.is_in(objs, value_set=stub_arr)).as_py() or 0
+            if n_total and len(stub_arr)
+            else 0
+        )
+        return pa.table(
+            {
+                "resolved": pa.array([n_total - n_stub], pa.int64()),
+                "stub": pa.array([n_stub], pa.int64()),
+            }
+        )
+
+    t = pa.concat_tables(
+        list(
+            edges.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
     return pa.table(
         {
             "kind": pa.array(["resolved", "stub"], pa.string()),
-            "n": pa.array([resolved, unresolved], pa.int64()),
+            "n": pa.array(
+                [
+                    pc.sum(t.column("resolved")).as_py() or 0,
+                    pc.sum(t.column("stub")).as_py() or 0,
+                ],
+                pa.int64(),
+            ),
         }
     )
 
@@ -263,29 +299,23 @@ def pricing_summary(sf_dir: str) -> pa.Table:
 
 
 def customers_per_nation(sf_dir: str) -> pa.Table:
-    """Broadcast join: nation is tiny — dict lookup inside map_batches
-    instead of a shuffle join (the small-side-broadcast rule)."""
-    import ray
-
+    """Broadcast join: nation is tiny — vectorized `index_in`/`take`
+    against the broadcast key/name arrays inside map_batches instead of a
+    shuffle join (the small-side-broadcast rule)."""
     nation = pa.concat_tables(
         list(_read(sf_dir, "nation", ["n_nationkey", "n_name"]).iter_batches(batch_format="pyarrow"))
     )
-    lookup = dict(
-        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
-    )
-    ref = ray.put(lookup)
+    keys = nation.column("n_nationkey").combine_chunks()
+    names = nation.column("n_name").combine_chunks()
 
-    class Join:
-        def __init__(self, r) -> None:
-            self.lk = ray.get(r)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("c_nationkey").to_pylist()
-            return pa.table({"nation": pa.array([self.lk.get(k, "?") for k in keys], pa.string())})
+    def join(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch.column("c_nationkey"), value_set=keys)
+        got = pc.coalesce(pc.take(names, idx), pa.scalar("?"))
+        return pa.table({"nation": got})
 
     out = (
         _read(sf_dir, "customer", ["c_nationkey"])
-        .map_batches(Join, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(join, batch_format="pyarrow")
         .groupby("nation")
         .count()
         .sort("nation")
@@ -348,7 +378,9 @@ def embedding_topk(sf_dir: str) -> pa.Table:
                 }
             )
 
-    local = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 4))
+    from ..util import fixed_pool
+
+    local = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=fixed_pool())
     t = pa.concat_tables(list(local.iter_batches(batch_format="pyarrow")))
     t = t.filter(pc.not_equal(t.column("vec_id"), 0))
     t = t.take(pc.sort_indices(t, sort_keys=[("cosine", "descending"), ("vec_id", "ascending")])[:10])
@@ -367,7 +399,7 @@ def embedding_near_dup_exact(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = embedding_near_dup_pairs(
-        ds, dim=_dim(sf_dir), threshold=0.95, n_planes=0, concurrency=(1, 2)
+        ds, dim=_dim(sf_dir), threshold=0.95, n_planes=0, concurrency=None
     )
     empty = pa.schema([pa.field("id_a", pa.int64()), pa.field("id_b", pa.int64()), pa.field("cosine", pa.float64())])
     t = _collect(out, empty)
@@ -389,7 +421,7 @@ def embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = embedding_near_dup_pairs(
-        ds, dim=_dim(sf_dir), threshold=0.95, n_planes=8, concurrency=(1, 4)
+        ds, dim=_dim(sf_dir), threshold=0.95, n_planes=8, concurrency=None
     )
     empty = pa.schema([pa.field("id_a", pa.int64()), pa.field("id_b", pa.int64()), pa.field("cosine", pa.float64())])
     t = _collect(out, empty)
@@ -406,32 +438,55 @@ def embedding_ivf_topk(sf_dir: str) -> pa.Table:
     row0 = q_t.filter(pc.equal(q_t.column("vec_id"), 0))
     q = np.asarray(row0.column("embedding").to_pylist(), dtype=np.float32)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = ivf_topk(ds, q, k=10, n_cells=8, n_probe=3, concurrency=(1, 4))
+    out = ivf_topk(ds, q, k=10, n_cells=8, n_probe=3, concurrency=None)
     return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
 
 
-def _fragments_ds(sf_dir: str):
-    """Corpus docs -> detected code fragments with int64 ids (deduplicated
-    content travels; the near-dup fodder lives here, FIXTURES.md F9)."""
+def _raw_fragments_ds(sf_dir: str):
+    """Detected code fragments of the deterministic corpus, CACHED as a
+    checkpoint per corpus size: the three near-dup queries and the
+    vectors query all consume this, so the corpus generation + fragment
+    detection runs ONCE instead of once per query (it was the dominant
+    cost of `minhash_dedup_corpus` at bench scale)."""
+    from ..io.checkpoint import checkpoint
+    from ..schemas import FRAGMENTS_SCHEMA
     from ..sources.corpus import docs_dataset
     from ..stages.extract import detect_fragments_batch
 
     n = _docs_count_for(sf_dir)
-    ds = docs_dataset(n, parallelism=max(4, n // 512)).map_batches(
-        detect_fragments_batch, batch_format="pyarrow"
-    )
+    path = f"/tmp/joern_ray_cache/frags_{n}"
+    keep = list(FRAGMENTS_SCHEMA.names)
 
-    def prep(batch: pa.Table) -> pa.Table:
-        b = batch.filter(pc.equal(batch.column("row_kind"), "fragment"))
-        ids = [
-            (int(u.rsplit("/", 1)[1]) << 4) | min(15, i)
-            for u, i in zip(b.column("url").to_pylist(), b.column("fragment_idx").to_pylist())
-        ]
-        return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()), "text": b.column("code")}
+    def factory():
+        ds = docs_dataset(n, parallelism=max(4, n // 512)).map_batches(
+            detect_fragments_batch, batch_format="pyarrow"
+        )
+        return ds.map_batches(
+            lambda b: b.filter(pc.equal(b.column("row_kind"), "fragment")).select(
+                keep
+            ),
+            batch_format="pyarrow",
         )
 
-    return ds.map_batches(prep, batch_format="pyarrow")
+    return checkpoint(factory, path, "fragments", f"corpus-{n}-seed42")
+
+
+def _fragments_ds(sf_dir: str):
+    """Corpus fragments with int64 ids (deduplicated content travels; the
+    near-dup fodder lives here, FIXTURES.md F9)."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = [
+            (int(u.rsplit("/", 1)[1]) << 4) | min(15, i)
+            for u, i in zip(
+                batch.column("url").to_pylist(), batch.column("fragment_idx").to_pylist()
+            )
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": batch.column("code")}
+        )
+
+    return _raw_fragments_ds(sf_dir).map_batches(prep, batch_format="pyarrow")
 
 
 def minhash_near_dups_corpus(sf_dir: str) -> pa.Table:
@@ -442,7 +497,7 @@ def minhash_near_dups_corpus(sf_dir: str) -> pa.Table:
     out = minhash_lsh_pairs(
         _fragments_ds(sf_dir),
         threshold=0.8,
-        concurrency=(1, 4),
+        concurrency=None,
     )
     empty = pa.schema([pa.field("id_a", pa.int64()), pa.field("id_b", pa.int64()), pa.field("est_jaccard", pa.float64())])
     t = _collect(out, empty)
@@ -519,7 +574,7 @@ def media_feature_stats(sf_dir: str) -> pa.Table:
         os.path.basename(os.path.normpath(sf_dir)), 64
     )
     ds = ray.data.from_arrow(synth_media_table(n))
-    out = media_features(ds, decoder="fake", batch_size=32, concurrency=(1, 2))
+    out = media_features(ds, decoder="fake", batch_size=32, concurrency=None)
     t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
     import collections
 
@@ -594,7 +649,7 @@ def export_dot_methods(sf_dir: str) -> pa.Table:
     from ..sources.corpus import docs_dataset
 
     n = min(_docs_count_for(sf_dir), 300)
-    ds = export_dot(docs_dataset(n, parallelism=4), concurrency=(1, 4))
+    ds = export_dot(docs_dataset(n, parallelism=4), concurrency=None)
     t = _collect(ds)
     import hashlib
 
@@ -614,7 +669,7 @@ def minhash_dedup_corpus(sf_dir: str) -> pa.Table:
     stats (no pair explosion — the 100TB-safe dedup path)."""
     from ..stages.dedup import minhash_dedup
 
-    out = minhash_dedup(_fragments_ds(sf_dir), concurrency=(1, 8))
+    out = minhash_dedup(_fragments_ds(sf_dir), concurrency=None)
     empty = pa.schema([pa.field("doc_id", pa.int64()), pa.field("canonical_id", pa.int64())])
     t = _collect(out, empty)
     n = t.num_rows
@@ -630,12 +685,11 @@ def minhash_dedup_corpus(sf_dir: str) -> pa.Table:
 
 def method_vectors_corpus(sf_dir: str) -> pa.Table:
     """joern-vectors analog: per-method feature-hash vectors over the
-    corpus; returns counts + dim + a determinism digest."""
-    from ..functions.vectors import method_vectors
-    from ..sources.corpus import docs_dataset
+    corpus; returns counts + dim + a determinism digest.  Consumes the
+    cached fragment checkpoint (no corpus re-generation/re-detection)."""
+    from ..functions.vectors import method_vectors_from_fragments
 
-    n = min(_docs_count_for(sf_dir), 3000)
-    out = method_vectors(docs_dataset(n, parallelism=4), concurrency=(1, 4))
+    out = method_vectors_from_fragments(_raw_fragments_ds(sf_dir), concurrency=4)
     t = _collect(out)
     import hashlib
 
@@ -695,28 +749,24 @@ def suppliers_per_region(sf_dir: str) -> pa.Table:
 
     nation = _collect(_read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]))
     region = _collect(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
-    n2r = dict(
-        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_regionkey").to_pylist())
-    )
+    # pre-join the two tiny dims driver-side, then vectorized index_in
     r2name = dict(
         zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist())
     )
-    lookup = {k: r2name.get(v, "?") for k, v in n2r.items()}
-    ref = ray.put(lookup)
+    keys = nation.column("n_nationkey").combine_chunks()
+    names = pa.array(
+        [r2name.get(v, "?") for v in nation.column("n_regionkey").to_pylist()],
+        pa.string(),
+    )
 
-    class Join:
-        def __init__(self, r) -> None:
-            self.lk = ray.get(r)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("s_nationkey").to_pylist()
-            return pa.table(
-                {"region": pa.array([self.lk.get(k, "?") for k in keys], pa.string())}
-            )
+    def join(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch.column("s_nationkey"), value_set=keys)
+        got = pc.coalesce(pc.take(names, idx), pa.scalar("?"))
+        return pa.table({"region": got})
 
     out = (
         _read(sf_dir, "supplier", ["s_nationkey"])
-        .map_batches(Join, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(join, batch_format="pyarrow")
         .groupby("region")
         .count()
         .sort("region")
@@ -731,7 +781,7 @@ def export_pdg_methods(sf_dir: str) -> pa.Table:
     from ..sources.corpus import docs_dataset
 
     n = min(_docs_count_for(sf_dir), 300)
-    ds = export_dot(docs_dataset(n, parallelism=4), repr_="pdg", concurrency=(1, 4))
+    ds = export_dot(docs_dataset(n, parallelism=4), repr_="pdg", concurrency=None)
     t = _collect(ds)
     return pa.table({"n_methods": pa.array([t.num_rows], pa.int64())})
 

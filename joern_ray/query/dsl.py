@@ -22,6 +22,15 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+
+def _full_match(col, regex: str):
+    """Reference `.name(re)` / `.code(re)` are FULL matches
+    (`Traversal.name` uses `matches`); wrap as ^(?:re)$ — users write
+    `.name(".*foo.*")` for substring search, same as Joern."""
+    return pc.match_substring_regex(
+        pc.coalesce(col, pa.scalar("")), f"^(?:{regex})$"
+    )
+
 _NODE_COLS = ["id", "label", "name", "full_name", "code", "url", "line", "method_full_name", "dispatch_type"]
 
 
@@ -38,22 +47,18 @@ class NodeSteps:
         return NodeSteps(self.cpg, self.ds.map_batches(fn, batch_format="pyarrow"))
 
     def name(self, regex: str) -> "NodeSteps":
-        return self._filter(
-            lambda b: b.filter(pc.match_substring_regex(pc.coalesce(b.column("name"), pa.scalar("")), regex))
-        )
+        return self._filter(lambda b: b.filter(_full_match(b.column("name"), regex)))
 
     def name_exact(self, value: str) -> "NodeSteps":
         return self._filter(lambda b: b.filter(pc.equal(pc.coalesce(b.column("name"), pa.scalar("")), value)))
 
     def full_name(self, regex: str) -> "NodeSteps":
         return self._filter(
-            lambda b: b.filter(pc.match_substring_regex(pc.coalesce(b.column("full_name"), pa.scalar("")), regex))
+            lambda b: b.filter(_full_match(b.column("full_name"), regex))
         )
 
     def code(self, regex: str) -> "NodeSteps":
-        return self._filter(
-            lambda b: b.filter(pc.match_substring_regex(pc.coalesce(b.column("code"), pa.scalar("")), regex))
-        )
+        return self._filter(lambda b: b.filter(_full_match(b.column("code"), regex)))
 
     def where_label(self, *labels: str) -> "NodeSteps":
         ls = pa.array(list(labels))
@@ -71,44 +76,32 @@ class NodeSteps:
         """One hop along `preds`; direction 'out' follows subj->obj,
         'in' follows obj->subj.  Broadcast-id-set filter over edges,
         then an id-set filter over nodes (two streamed scans)."""
-        import ray
-
         ids = self._ids()
         if not ids:
             return NodeSteps(self.cpg, self.ds)
-        ids_ref = ray.put(frozenset(ids))
+        ids_arr = pa.array(list(ids), pa.uint64())
         src_col, dst_col = ("subj", "obj") if direction == "out" else ("obj", "subj")
+        preds_arr = pa.array(list(preds), pa.string())
 
-        class EdgeHop:
-            def __init__(self, ref, preds_) -> None:
-                self.ids = pa.array(list(ray.get(ref)), pa.uint64())
-                self.preds = pa.array(list(preds_), pa.string())
+        # plain TASKS: the id set rides the (once-exported) closure; no
+        # actor pool spin-up per hop
+        def edge_hop(batch: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.is_in(batch.column("pred"), value_set=preds_arr),
+                pc.is_in(batch.column(src_col), value_set=ids_arr),
+            )
+            return pa.table({"id": batch.filter(m).column(dst_col)})
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                m = pc.and_(
-                    pc.is_in(batch.column("pred"), value_set=self.preds),
-                    pc.is_in(batch.column(src_col), value_set=self.ids),
-                )
-                return pa.table({"id": batch.filter(m).column(dst_col)})
-
-        hop = self.cpg.edges_ds().map_batches(
-            EdgeHop, fn_constructor_args=(ids_ref, preds), batch_format="pyarrow", concurrency=(1, 4)
-        )
+        hop = self.cpg.edges_ds().map_batches(edge_hop, batch_format="pyarrow")
         target_ids: set[int] = set()
         for b in hop.iter_batches(batch_format="pyarrow"):
             target_ids.update(b.column("id").to_pylist())
-        tref = ray.put(frozenset(target_ids))
+        tarr = pa.array(list(target_ids), pa.uint64())
 
-        class NodePick:
-            def __init__(self, ref) -> None:
-                self.ids = pa.array(list(ray.get(ref)), pa.uint64())
+        def node_pick(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column("id"), value_set=tarr))
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                return batch.filter(pc.is_in(batch.column("id"), value_set=self.ids))
-
-        picked = self.cpg.nodes_ds().map_batches(
-            NodePick, fn_constructor_args=(tref,), batch_format="pyarrow", concurrency=(1, 4)
-        )
+        picked = self.cpg.nodes_ds().map_batches(node_pick, batch_format="pyarrow")
         return NodeSteps(self.cpg, picked)
 
     # AST navigation (reference AstNodeTraversal)
@@ -144,22 +137,14 @@ class NodeSteps:
         reach = _rb(self.cpg.edges_ds, sinks, max_depth)
         reached = set(reach.column("node").to_pylist())
         src_ids = sources._ids() & reached
-        import ray
+        rarr = pa.array(list(src_ids), pa.uint64())
 
-        rref = ray.put(frozenset(src_ids))
-
-        class Pick:
-            def __init__(self, ref) -> None:
-                self.ids = pa.array(list(ray.get(ref)), pa.uint64())
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                return batch.filter(pc.is_in(batch.column("id"), value_set=self.ids))
+        def pick(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column("id"), value_set=rarr))
 
         return NodeSteps(
             self.cpg,
-            self.cpg.nodes_ds().map_batches(
-                Pick, fn_constructor_args=(rref,), batch_format="pyarrow", concurrency=(1, 4)
-            ),
+            self.cpg.nodes_ds().map_batches(pick, batch_format="pyarrow"),
         )
 
     # ---- materializers (reference Steps.l / toJson) -------------------
@@ -194,7 +179,13 @@ class Cpg:
     def nodes_ds(self):
         import ray.data
 
-        return ray.data.read_parquet(self.nodes_path)
+        from ..schemas import NODES_SCHEMA
+
+        # fixed projection: the node table may span multiple physical
+        # roots with differing extra columns (parse/canonical/dims)
+        return ray.data.read_parquet(
+            self.nodes_path, columns=list(NODES_SCHEMA.names)
+        )
 
     def edges_ds(self):
         import ray.data

@@ -96,7 +96,7 @@ def q_format_string(cpg: Cpg) -> pa.Table:
 def q_malloc_no_check(cpg: Cpg) -> pa.Table:
     """malloc assignments (candidates for missing NULL checks —
     `NullTermination`-style shape)."""
-    t = cpg.call().code("= malloc\\(").l(["url", "line", "code"])
+    t = cpg.call().code(".*= malloc\\(.*").l(["url", "line", "code"])
     return _findings(t, "malloc-unchecked", "allocation (verify NULL check)")
 
 
@@ -105,7 +105,7 @@ def q_free_use(cpg: Cpg) -> pa.Table:
     free() arguments (F3 shape, bounded depth)."""
     frees = cpg.call("^free$")
     args = frees.argument()
-    reached = args.reachable_by(cpg.call().code("malloc\\("))
+    reached = args.reachable_by(cpg.call().code(".*malloc\\(.*"))
     t = reached.l(["url", "line", "code"])
     return _findings(t, "use-after-free-candidate", "freed allocation flows here")
 

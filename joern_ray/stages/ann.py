@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+from ..util import resolve_pool
+
 import numpy as np
 import pyarrow as pa
 
@@ -65,7 +67,7 @@ def _global_topk(local, k: int, id_col: str):
     return ds.groupby("query_id").map_groups(head_k, batch_format="pyarrow")
 
 
-def brute_force_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding", concurrency=(1, 8)):
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding", concurrency=None):
     import ray
 
     qref = ray.put(np.asarray(queries, dtype=np.float32))
@@ -73,7 +75,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id
         BruteForceScorer,
         fn_constructor_args=(qref, k, id_col, vec_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=resolve_pool(concurrency),
     )
     return _global_topk(local, k, id_col)
 
@@ -146,7 +148,7 @@ class IvfScorer:
         )
 
 
-def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16, n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding", sample_size: int = 2048, concurrency=(1, 8)):
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16, n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding", sample_size: int = 2048, concurrency=None):
     import ray
 
     sample = np.asarray(
@@ -159,6 +161,6 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16, n_probe: i
         IvfScorer,
         fn_constructor_args=(qref, cref, k, n_probe, id_col, vec_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=resolve_pool(concurrency),
     )
     return _global_topk(local, k, id_col)

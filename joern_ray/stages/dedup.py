@@ -21,6 +21,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+from ..util import resolve_pool
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -177,7 +179,7 @@ class MinHasher:
         )
 
 
-def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=128, bands=16, threshold=0.7, concurrency=(1, 8)):
+def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=128, bands=16, threshold=0.7, concurrency=None):
     """Candidate near-dup pairs via banded minhash LSH, verified by
     signature agreement (estimated Jaccard ≥ threshold).  Returns a
     Dataset of (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
@@ -192,7 +194,7 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=128, bands=
             "bands": bands,
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=resolve_pool(concurrency),
     )
 
     def pairs_in_bucket(batch: pa.Table) -> pa.Table:
@@ -256,7 +258,7 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=128, bands=
     return pairs.groupby(["id_a", "id_b"]).map_groups(first_band, batch_format="pyarrow")
 
 
-def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perm=128, bands=16, concurrency=(1, 8)):
+def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perm=128, bands=16, concurrency=None):
     """Scalable near-dup COLLAPSE: (id -> canonical_id) cluster mapping.
 
     Per (band, bucket) group emit (member, min-id-of-bucket) — O(group),
@@ -275,7 +277,7 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perm=128, bands=16, 
             "bands": bands,
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=resolve_pool(concurrency),
     ).map_batches(
         lambda b: b.select([id_col, "band", "bucket"]), batch_format="pyarrow"
     ).materialize()  # groupby sampling must not re-run the MinHasher pool
@@ -440,7 +442,7 @@ class HyperplaneBucketer:
         )
 
 
-def embedding_near_dup_pairs(ds, dim: int, id_col="vec_id", vec_col="embedding", threshold=0.95, n_planes=12, concurrency=(1, 8)):
+def embedding_near_dup_pairs(ds, dim: int, id_col="vec_id", vec_col="embedding", threshold=0.95, n_planes=12, concurrency=None):
     """Cosine near-dup pairs: LSH bucket by hyperplane signs, exact cosine
     within each bucket (payload shuffles only per-bucket)."""
 
@@ -448,7 +450,7 @@ def embedding_near_dup_pairs(ds, dim: int, id_col="vec_id", vec_col="embedding",
         HyperplaneBucketer,
         fn_constructor_kwargs={"dim": dim, "vec_col": vec_col, "n_planes": n_planes},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=resolve_pool(concurrency),
     )
 
     def pairs(batch: pa.Table) -> pa.Table:

@@ -13,6 +13,8 @@ the libs exist.
 
 from __future__ import annotations
 
+from ..util import resolve_pool
+
 import hashlib
 
 import numpy as np
@@ -113,12 +115,12 @@ def synth_media_table(n: int, seed: int = 5) -> pa.Table:
     )
 
 
-def media_features(ds, decoder: str = "fake", batch_size: int = 32, concurrency=(1, 8)):
+def media_features(ds, decoder: str = "fake", batch_size: int = 32, concurrency=None):
     """The pipeline entry: small batches (large payloads), actor pool."""
     return ds.map_batches(
         MediaFeatureExtractor,
         fn_constructor_kwargs={"decoder": decoder},
         batch_size=batch_size,
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=resolve_pool(concurrency),
     )

@@ -41,35 +41,54 @@ _LANG_PROFILES: dict[str, frozenset] = {
 }
 
 
+# stopword-token regex over the DOUBLE-SPACED padded text (see
+# quality_score_batch): every \S+ token is flanked by its own spaces, so
+# the space-consuming match can't starve a consecutive stopword — count
+# equals `token.lower() in STOPWORDS` over \S+ tokens (RE2 lacks
+# lookahead, hence the padding trick)
+_STOP_RE_PC = r"(?i)\s(?:" + "|".join(sorted(_STOPWORDS)) + r")\s"
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Adds n_tokens_ws (whitespace) and n_tokens_bpe (BPE-ish regex)."""
-    texts = batch.column(text_col).to_pylist()
-    ws = [len(_WS_RE.findall(t or "")) for t in texts]
-    bpe = [len(_BPE_RE.findall(t or "")) for t in texts]
+    """Adds n_tokens_ws (whitespace) and n_tokens_bpe (BPE-ish regex) —
+    pyarrow `count_substring_regex` kernels, no per-row Python."""
+    col = pc.coalesce(batch.column(text_col), pa.scalar(""))
+    ws = pc.count_substring_regex(col, pattern=r"\S+")
+    bpe = pc.count_substring_regex(
+        col, pattern=r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+    )
     return batch.append_column(
-        "n_tokens_ws", pa.array(ws, pa.int64())
-    ).append_column("n_tokens_bpe", pa.array(bpe, pa.int64()))
+        "n_tokens_ws", pc.cast(ws, pa.int64())
+    ).append_column("n_tokens_bpe", pc.cast(bpe, pa.int64()))
 
 
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Adds quality heuristics: length, punct ratio, stopword ratio, mean
-    word length, and a composite `quality_ok` flag (C4-style filters)."""
-    texts = batch.column(text_col).to_pylist()
-    n = len(texts)
-    length = np.empty(n, np.int64)
-    punct = np.empty(n, np.float64)
-    stop = np.empty(n, np.float64)
-    wlen = np.empty(n, np.float64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        length[i] = len(t)
-        words = _WS_RE.findall(t)
-        nw = len(words)
-        punct[i] = len(_PUNCT_RE.findall(t)) / max(1, len(t))
-        stop[i] = (
-            sum(1 for w in words if w.lower() in _STOPWORDS) / nw if nw else 0.0
-        )
-        wlen[i] = sum(len(w) for w in words) / nw if nw else 0.0
+    word length, and a composite `quality_ok` flag (C4-style filters).
+    Fully vectorized: mean word length falls out of the identity
+    sum(len(w) for w in \\S+ tokens) == n_chars - n_whitespace_chars."""
+    col = pc.coalesce(batch.column(text_col), pa.scalar(""))
+    length = pc.cast(pc.utf8_length(col), pa.int64()).to_numpy(zero_copy_only=False)
+    n_punct = pc.count_substring_regex(col, pattern=r"[^\w\s]").to_numpy(
+        zero_copy_only=False
+    )
+    n_ws_chars = pc.count_substring_regex(col, pattern=r"\s").to_numpy(
+        zero_copy_only=False
+    )
+    nw = pc.count_substring_regex(col, pattern=r"\S+").to_numpy(zero_copy_only=False)
+    spaced = pc.binary_join_element_wise(
+        pa.scalar(" "),
+        pc.replace_substring_regex(col, pattern=r"\s+", replacement="  "),
+        pa.scalar(" "),
+        "",
+    )
+    n_stop = pc.count_substring_regex(spaced, pattern=_STOP_RE_PC).to_numpy(
+        zero_copy_only=False
+    )
+    punct = n_punct / np.maximum(1, length)
+    nw_safe = np.maximum(1, nw)
+    stop = np.where(nw > 0, n_stop / nw_safe, 0.0)
+    wlen = np.where(nw > 0, (length - n_ws_chars) / nw_safe, 0.0)
     ok = (length >= 20) & (punct < 0.3) & (wlen >= 2.0) & (wlen <= 15.0)
     out = batch
     for name, arr, typ in (
@@ -83,19 +102,29 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Adds `lang_pred`: digraph-overlap heuristic language guess."""
-    texts = batch.column(text_col).to_pylist()
-    preds = []
-    for t in texts:
-        t = (t or "")[:2000].lower()
-        grams = {t[i : i + 2] for i in range(len(t) - 1)}
-        best, best_score = "und", -1
-        for lang, prof in _LANG_PROFILES.items():
-            score = len(grams & prof)
-            if score > best_score:
-                best, best_score = lang, score
-        preds.append(best if best_score > 0 else "und")
-    return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+    """Adds `lang_pred`: digraph-overlap heuristic language guess.
+    Vectorized per digraph (PRESENCE of each profile digraph in the first
+    2000 chars), argmax across languages with first-wins tie-breaking —
+    identical scores to the per-row set-intersection formulation."""
+    col = pc.utf8_lower(
+        pc.utf8_slice_codeunits(
+            pc.coalesce(batch.column(text_col), pa.scalar("")), 0, 2000
+        )
+    )
+    n = len(col)
+    langs = list(_LANG_PROFILES)
+    scores = np.zeros((len(langs), n), dtype=np.int64)
+    for li, lang in enumerate(langs):
+        for d in _LANG_PROFILES[lang]:
+            scores[li] += (
+                pc.greater(pc.count_substring(col, pattern=d), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+    best = np.argmax(scores, axis=0)  # first-wins on ties (dict order)
+    best_score = scores[best, np.arange(n)]
+    preds = np.where(best_score > 0, np.array(langs, dtype=object)[best], "und")
+    return batch.append_column("lang_pred", pa.array(preds.tolist(), pa.string()))
 
 
 _FP_BASE = np.uint64(1099511628211)
@@ -105,18 +134,56 @@ _FP_OFF = np.uint64(14695981039346656037)
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Adds `fingerprint`: polynomial rolling hash (base-257, mod 2^64 via
     uint64 wraparound) over the normalized text (whitespace-collapsed,
-    lowercased) — order-sensitive, fully vectorized per document."""
-    texts = batch.column(text_col).to_pylist()
-    out = np.empty(len(texts), np.uint64)
-    with np.errstate(over="ignore"):
-        for i, t in enumerate(texts):
-            norm = " ".join((t or "").lower().split()).encode()
-            if not norm:
-                out[i] = 0
-                continue
-            b = np.frombuffer(norm, dtype=np.uint8).astype(np.uint64)
-            powers = np.full(len(b), np.uint64(257), dtype=np.uint64)
+    lowercased) — order-sensitive, vectorized across the WHOLE batch:
+    normalization via Arrow kernels, then one flat uint8 view of the
+    string buffer with per-document exponents and a segmented reduceat
+    (no per-row Python)."""
+    col = pc.coalesce(batch.column(text_col), pa.scalar(""))
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.utf8_lower(col), pattern=r"\s+", replacement=" ")
+    ).combine_chunks()
+    n = len(norm)
+    if n == 0:
+        return batch.append_column("fingerprint", pa.array([], pa.uint64()))
+    # zero-copy views of the utf8 buffer: offsets (int32, +arr.offset) and
+    # byte data
+    off_buf = np.frombuffer(norm.buffers()[1], dtype=np.int32)
+    offs = off_buf[norm.offset : norm.offset + n + 1].astype(np.int64)
+    data_all = np.frombuffer(norm.buffers()[2], dtype=np.uint8)
+    starts = offs[:-1]
+    ends = offs[1:]
+    lens = ends - starts
+    total = int(ends[-1] - offs[0])
+    out = np.zeros(n, np.uint64)
+    # the flat-view math assumes contiguous segments (true for any
+    # freshly-built kernel output); fall back to the per-row path if a
+    # sliced/composed array ever violates it
+    if total and not np.array_equal(starts[1:], ends[:-1]):
+        with np.errstate(over="ignore"):
+            for i in range(n):
+                bts = data_all[starts[i] : ends[i]].astype(np.uint64)
+                if len(bts):
+                    p = np.full(len(bts), np.uint64(257), dtype=np.uint64)
+                    p[0] = 1
+                    out[i] = np.uint64((bts * np.cumprod(p)[::-1]).sum()) & np.uint64(
+                        (1 << 63) - 1
+                    )
+        return batch.append_column("fingerprint", pa.array(out, pa.uint64()))
+    if total:
+        seg = data_all[offs[0] : offs[0] + total].astype(np.uint64)
+        max_len = int(lens.max())
+        with np.errstate(over="ignore"):
+            powers = np.empty(max_len, dtype=np.uint64)
             powers[0] = 1
-            powers = np.cumprod(powers)[::-1]  # B^(n-1) .. B^0, wrapping
-            out[i] = np.uint64((b * powers).sum()) & np.uint64((1 << 63) - 1)
+            if max_len > 1:
+                np.cumprod(np.full(max_len - 1, 257, dtype=np.uint64), out=powers[1:])
+            # exponent of byte at global pos g in doc i = ends[i]-1-g
+            rel_ends = (ends - offs[0]).astype(np.int64)
+            exp = np.repeat(rel_ends, lens) - 1 - np.arange(total, dtype=np.int64)
+            terms = seg * powers[exp]
+            # segmented sum; reduceat misbehaves on empty segments — fix up
+            red_starts = np.minimum(starts - offs[0], total - 1)
+            sums = np.add.reduceat(terms, red_starts)
+            out = np.where(lens > 0, sums, np.uint64(0)).astype(np.uint64)
+        out &= np.uint64((1 << 63) - 1)
     return batch.append_column("fingerprint", pa.array(out, pa.uint64()))

@@ -8,6 +8,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
 
+from joern_ray.schemas import NODES_SCHEMA
+
+_NCOLS = list(NODES_SCHEMA.names)
+
 OUT = "/tmp/joern_ray_test_dataflow"
 
 UAF_DOC = (
@@ -127,10 +131,10 @@ def test_neo4j_csv_export(ray_session, uaf_cpg):
     from joern_ray.io.export import export_neo4j_csv
 
     out_dir = os.path.join(OUT, "neo4j")
-    from joern_ray.pipelines.cpg import read_edges
+    from joern_ray.pipelines.cpg import read_edges, read_nodes
 
     res = export_neo4j_csv(
-        ray.data.read_parquet(uaf_cpg["nodes_path"]),
+        read_nodes(uaf_cpg["out_dir"]),
         read_edges(uaf_cpg["out_dir"]),
         out_dir,
     )
@@ -146,7 +150,7 @@ def test_graphml_and_sarif(ray_session, uaf_cpg):
     from joern_ray.io.export import export_graphml, export_sarif
 
     nodes = pa.concat_tables(
-        list(ray.data.read_parquet(uaf_cpg["nodes_path"]).iter_batches(batch_format="pyarrow"))
+        list(ray.data.read_parquet(uaf_cpg["nodes_path"], columns=_NCOLS).iter_batches(batch_format="pyarrow"))
     )
     edges = pa.concat_tables(
         list(
@@ -215,7 +219,7 @@ def test_inherits_from_edges(ray_session):
     assert inh.num_rows == 1
     assert inh.column("obj")[0].as_py() == type_id("Base")
     nodes = pa.concat_tables(
-        list(ray.data.read_parquet(res["nodes_path"]).iter_batches(batch_format="pyarrow"))
+        list(ray.data.read_parquet(res["nodes_path"], columns=_NCOLS).iter_batches(batch_format="pyarrow"))
     )
     types = nodes.filter(pc.equal(nodes.column("label"), "TYPE"))
     assert "Base" in types.column("full_name").to_pylist()

@@ -93,7 +93,7 @@ def test_contains_and_parent(cpg):
 def test_reachable_by(cpg):
     """r (use in return) is reachable from the helper-call assignment."""
     ret_uses = cpg.identifier().name("^r$")
-    sources = cpg.call().code("r = helper")
+    sources = cpg.call().code(".*r = helper.*")
     hits = ret_uses.reachable_by(sources).l(["label", "code"])
     assert hits.num_rows >= 1
 

@@ -37,6 +37,10 @@ def cpg(ray_session):
 def _read_all(ray_session, path, columns=None):
     import ray.data
 
+    if columns is None:  # nodes span multiple roots — fixed projection
+        from joern_ray.schemas import NODES_SCHEMA
+
+        columns = list(NODES_SCHEMA.names)
     t = pa.concat_tables(
         list(
             ray.data.read_parquet(path, columns=columns).iter_batches(
@@ -79,12 +83,18 @@ def test_every_call_linked(ray_session, cpg):
 
 
 def test_manifests_written(cpg):
-    for p in (cpg["nodes_path"], cpg["edges_linked_path"]):
-        assert os.path.exists(os.path.join(p, "_manifest.json"))
-        parts = [d for d in os.listdir(p) if d.startswith("part=")]
-        assert parts
-        for d in parts:
-            assert os.path.exists(os.path.join(p, d, "_manifest.json"))
+    # linked edges: partitioned write with per-partition manifests
+    p = cpg["edges_linked_path"]
+    assert os.path.exists(os.path.join(p, "_manifest.json"))
+    parts = [d for d in os.listdir(p) if d.startswith("part=")]
+    assert parts
+    for d in parts:
+        assert os.path.exists(os.path.join(p, d, "_manifest.json"))
+    # node roots: each checkpoint carries its own completion manifest
+    for root in ("parse", "canonical_mt", "dims"):
+        assert os.path.exists(
+            os.path.join(cpg["out_dir"], root, "_manifest.json")
+        ), root
 
 
 def test_resume_skips_and_is_identical(ray_session, cpg):
@@ -413,10 +423,10 @@ def test_dynamic_dispatch_candidates(ray_session):
 def test_entity_equivalences_written(ray_session, cpg):
     """MinHash entity collapse: near-identical method bodies across docs
     map to one canonical entity id (the corpus plants near-dups, F9)."""
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
     assert cpg["equivalences_path"]
-    t = pq.read_table(os.path.join(cpg["equivalences_path"], "equivalences.parquet"))
+    t = pads.dataset(cpg["equivalences_path"], format="parquet").to_table()
     assert t.num_rows > 0
     # mapping is idempotent: entity ids are themselves method ids with
     # entity_id == min of their cluster
