@@ -546,17 +546,14 @@ def build_cpg(
                     }
                 )
 
+            # task-based minhash (per-worker memo) — no pinned actor
+            # CPUs, so this overlaps the edge write without starving it
             out = minhash_dedup(
                 mt_ds().map_batches(methods_code, batch_format="pyarrow"),
                 text_col="text",
                 id_col="method_id",
                 num_perm=64,
                 bands=16,
-                # fixed pool sized to the session — a pool larger than
-                # the CPU count deadlocks waiting for actors to schedule
-                concurrency=max(
-                    1, min(24, int(ray.cluster_resources().get("CPU", 8)) - 2)
-                ),
             )
 
             # keep only actually-collapsed members (canonical != self);

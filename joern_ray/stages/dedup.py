@@ -115,6 +115,9 @@ class MinHasher:
         self.text_col = text_col
         self.id_col = id_col
         self.shingle_k = shingle_k
+        # content-keyed signature memo (~0.5 KB/entry at num_perm=64)
+        self._sig_cache: dict[int, np.ndarray] = {}
+        self._sig_cache_max = 65536
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingles(text, self.shingle_k)
@@ -124,21 +127,35 @@ class MinHasher:
         return prod.min(axis=1).astype(np.uint64)
 
     def signatures_batch(self, texts: list) -> np.ndarray:
-        """(n_docs, num_perm) signatures in one vectorized pass: concat
-        all shingles, permute once, segment-min via minimum.reduceat."""
-        shingle_lists = [_shingles(t or "", self.shingle_k) for t in texts]
-        if not shingle_lists:
+        """(n_docs, num_perm) signatures — vectorized, with a
+        content-keyed memo: web/method corpora are dup-heavy (the parser
+        template cache measures >90% hits), and identical text has an
+        identical signature, so only DISTINCT texts get shingled and
+        permuted.  The memo persists across batches in the worker
+        process (tasks reuse workers)."""
+        if not texts:
             return np.zeros((0, self.num_perm), np.uint64)
-        lens = np.array([len(s) for s in shingle_lists], dtype=np.int64)
-        flat = np.concatenate(shingle_lists)
-        with np.errstate(over="ignore"):
-            # (num_perm, total_shingles)
-            prod = (flat[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
-        starts = np.zeros(len(lens), dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-        # reduceat per permutation row -> (num_perm, n_docs)
-        mins = np.minimum.reduceat(prod, starts, axis=1)
-        return mins.T.astype(np.uint64)
+        keys = [hash(t or "") for t in texts]
+        cache = self._sig_cache
+        miss: dict[int, str] = {}
+        for k, t in zip(keys, texts):
+            if k not in cache and k not in miss:
+                miss[k] = t or ""
+        if miss:
+            shingle_lists = [_shingles(t, self.shingle_k) for t in miss.values()]
+            lens = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+            flat = np.concatenate(shingle_lists)
+            with np.errstate(over="ignore"):
+                # (num_perm, total_shingles)
+                prod = (flat[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            mins = np.minimum.reduceat(prod, starts, axis=1).T.astype(np.uint64)
+            if len(cache) + len(miss) > self._sig_cache_max:
+                cache.clear()
+            for i, k in enumerate(miss):
+                cache[k] = mins[i]
+        return np.stack([cache[k] for k in keys])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """flat-map: one row per (doc, band) with the band bucket hash and
@@ -179,6 +196,29 @@ class MinHasher:
         )
 
 
+# Per-worker MinHasher memo: its state is DETERMINISTIC (seeded
+# permutations), so plain tasks build it once per worker process — no
+# pinned actor CPUs, which matters when the minhash overlaps other
+# stages (the cpg equivalence pass runs concurrently with the edge
+# write; a pinned pool starved it at low CPU counts).
+_MINHASHER_MEMO: dict = {}
+
+
+def minhasher_fn(**kwargs):
+    key = tuple(sorted(kwargs.items()))
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        mh = _MINHASHER_MEMO.get(key)
+        if mh is None:
+            if len(_MINHASHER_MEMO) > 4:
+                _MINHASHER_MEMO.clear()
+            mh = MinHasher(**kwargs)
+            _MINHASHER_MEMO[key] = mh
+        return mh(batch)
+
+    return _fn
+
+
 def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=128, bands=16, threshold=0.7, concurrency=None):
     """Candidate near-dup pairs via banded minhash LSH, verified by
     signature agreement (estimated Jaccard ≥ threshold).  Returns a
@@ -186,15 +226,10 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=128, bands=
     across bands by keeping each pair only in its first matching band."""
 
     band_rows = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "text_col": text_col,
-            "id_col": id_col,
-            "num_perm": num_perm,
-            "bands": bands,
-        },
+        minhasher_fn(
+            text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands
+        ),
         batch_format="pyarrow",
-        concurrency=resolve_pool(concurrency),
     )
 
     def pairs_in_bucket(batch: pa.Table) -> pa.Table:
@@ -261,26 +296,83 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=128, bands=
 def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perm=128, bands=16, concurrency=None):
     """Scalable near-dup COLLAPSE: (id -> canonical_id) cluster mapping.
 
-    Per (band, bucket) group emit (member, min-id-of-bucket) — O(group),
-    no pair explosion — then a second groupby(member) takes the global
-    min across bands.  One union-find hop; documents transitively linked
-    only through longer chains keep separate canonicals (bounded-round
-    choice, same spirit as the reference's fixed-iteration type recovery,
-    `XTypeRecovery.scala:143-145`)."""
+    TWO-LEVEL (exact -> near), the shape that survives dup-heavy web
+    corpora:
 
-    band_rows = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "text_col": text_col,
-            "id_col": id_col,
-            "num_perm": num_perm,
-            "bands": bands,
-        },
+    1. exact content collapse — group on hash64(text), representative =
+       min id.  Shuffles TWO integer columns, never the text; identical
+       texts are Jaccard-1 near-dups, so this changes no cluster.
+       (63-bit hash equality treated as content equality — same caveat
+       as `exact_dedup`.)
+    2. banded MinHash over the DISTINCT texts only (reps), per (band,
+       bucket) emit (member, min) — O(group), no pair explosion — then a
+       second groupby takes the global min across bands.  Web corpora
+       are >90% duplicate content, so the band shuffle shrinks 10-20x.
+    3. members map through their rep's canonical via a broadcast of the
+       (small) collapsed-rep mapping.
+
+    `ds` is consumed twice (projection + rep-text pull) — pass a
+    checkpoint/Parquet-backed Dataset so re-execution is a re-read.
+    One union-find hop; documents transitively linked only through
+    longer chains keep separate canonicals (bounded-round choice, same
+    spirit as the reference's fixed-iteration type recovery,
+    `XTypeRecovery.scala:143-145`).  The broadcast in step 3 bounds this
+    regime at O(distinct near-dup reps) driver memory; past that, swap
+    step 3 for a shuffle join on `rep`."""
+    import ray
+
+    from ..functions.hashing import hash64
+
+    # ---- level 1: exact content collapse ------------------------------
+    def chash_proj(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ch = np.array([hash64(t or "") for t in texts], dtype=np.uint64)
+        return pa.table(
+            {id_col: batch.column(id_col), "chash": pa.array(ch, pa.uint64())}
+        )
+
+    m1 = ds.map_batches(chash_proj, batch_format="pyarrow").materialize()
+
+    def exact_group(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        lo = pc.min(ids).as_py()
+        return pa.table(
+            {id_col: ids, "rep": pa.array([lo] * batch.num_rows, ids.type)}
+        )
+
+    m1_map = (
+        m1.groupby("chash")
+        .map_groups(exact_group, batch_format="pyarrow")
+        .map_batches(lambda b: b.select([id_col, "rep"]), batch_format="pyarrow")
+        .materialize()
+    )
+
+    # distinct-rep id set (one per distinct content)
+    rep_ids: set = set()
+    for b in m1_map.iter_batches(batch_format="pyarrow"):
+        rep_ids.update(pc.unique(b.column("rep")).to_pylist())
+    rep_ref = ray.put(frozenset(rep_ids))
+
+    # ---- level 2: banded MinHash over distinct texts ------------------
+    rep_key = rep_ref.hex()
+
+    def rep_filter(batch: pa.Table) -> pa.Table:
+        arr = _MINHASHER_MEMO.get(rep_key)
+        if arr is None:  # once per worker
+            arr = pa.array(list(ray.get(rep_ref)), pa.int64())
+            _MINHASHER_MEMO[rep_key] = arr
+        return batch.filter(
+            pc.is_in(batch.column(id_col), value_set=arr.cast(batch.column(id_col).type))
+        )
+
+    band_rows = ds.map_batches(rep_filter, batch_format="pyarrow").map_batches(
+        minhasher_fn(
+            text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands
+        ),
         batch_format="pyarrow",
-        concurrency=resolve_pool(concurrency),
     ).map_batches(
         lambda b: b.select([id_col, "band", "bucket"]), batch_format="pyarrow"
-    ).materialize()  # groupby sampling must not re-run the MinHasher pool
+    ).materialize()  # groupby sampling must not re-run the MinHasher stage
 
     def bucket_min(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col)
@@ -306,7 +398,66 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perm=128, bands=16, 
             }
         )
 
-    return members.groupby(id_col).map_groups(global_min, batch_format="pyarrow")
+    rep_canon = members.groupby(id_col).map_groups(global_min, batch_format="pyarrow")
+
+    # ---- level 3: member -> rep -> canonical --------------------------
+    # only COLLAPSED reps matter (canonical != self) — a small table,
+    # path-compressed (a bucket min can itself collapse through another
+    # bucket; compression makes the final mapping idempotent), then
+    # applied as a vectorized index_in/take lookup
+    cmap: dict = {}
+    for b in rep_canon.iter_batches(batch_format="pyarrow"):
+        eq = b.filter(pc.not_equal(b.column(id_col), b.column("canonical_id")))
+        cmap.update(
+            zip(eq.column(id_col).to_pylist(), eq.column("canonical_id").to_pylist())
+        )
+    for k in list(cmap):
+        v = cmap[k]
+        seen = {k}
+        while v in cmap and v not in seen:
+            seen.add(v)
+            v = cmap[v]
+        cmap[k] = v
+    import os as _os
+
+    if _os.environ.get("JOERN_DEDUP_DEBUG"):
+        import sys as _sys
+
+        zk = sum(1 for k in cmap if k == 0)
+        zv = sum(1 for v in cmap.values() if v == 0)
+        print(
+            f"[minhash_dedup] cmap={len(cmap)} zero_keys={zk} zero_vals={zv} "
+            f"reps={len(rep_ids)} zero_rep={0 in rep_ids}",
+            file=_sys.stderr,
+            flush=True,
+        )
+    ck, cv = list(cmap.keys()), list(cmap.values())
+
+    # numpy searchsorted lookup (NOT pc.index_in/take: take over a
+    # null-bearing chunked index array returned corrupted values inside
+    # Ray workers — observed zeros fabricated from clean inputs)
+    ck_np = np.array(ck, dtype=np.int64)
+    cv_np = np.array(cv, dtype=np.int64)
+    _order = np.argsort(ck_np)
+    sk, sv = ck_np[_order], cv_np[_order]
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        rep = batch.column("rep").combine_chunks()
+        rep_np = rep.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(sk):
+            pos = np.minimum(np.searchsorted(sk, rep_np), len(sk) - 1)
+            hit = sk[pos] == rep_np
+            canon = np.where(hit, sv[pos], rep_np)
+        else:
+            canon = rep_np
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "canonical_id": pa.array(canon, rep.type),
+            }
+        )
+
+    return m1_map.map_batches(finalize, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
