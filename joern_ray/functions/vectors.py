@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import hash64
-from ..parsing.astmodel import PNode
+from ..parsing.astmodel import FRAG_PLACEHOLDER, PNode
 from ..parsing.parser import FragmentParser, ParseError
 
 VECTOR_DIM = 128
@@ -51,7 +51,10 @@ class MethodVectorizer:
     _SENT_KEY = "\x00SENTINEL#0"
 
     def __init__(self, dim: int = VECTOR_DIM, cache_size: int = 4096) -> None:
+        from ..parsing.pyfrontend import PyFragmentParser
+
         self.parsers = {d: FragmentParser(d) for d in ("c", "cpp", "java", "javascript")}
+        self.parsers["python"] = PyFragmentParser()
         self.dim = dim
         self.cache: dict = {}
         self.cache_size = cache_size
@@ -107,7 +110,7 @@ class MethodVectorizer:
             for fqn, vec in tmpl:
                 o_url.append(url)
                 o_idx.append(idx)
-                o_fqn.append(fqn.replace(self._SENT_KEY, frag_key))
+                o_fqn.append(fqn.replace(self._SENT_KEY, frag_key).replace(FRAG_PLACEHOLDER, frag_key))
                 o_vec.append(vec)
         return pa.table(
             {

@@ -1,112 +1,368 @@
-"""Query-time data-flow: reachableBy as bounded-depth frontier expansion
-+ backward slicing.
+"""Query-time data-flow: reachableBy as bounded frontier expansion —
+now INTERPROCEDURAL — plus backward slicing.
 
 Re-expresses the reference's task-parallel backwards engine
 (`dataflowengineoss/.../queryengine/Engine.scala:43-66`: one task per
-sink, explore backwards along REACHING_DEF + CALL edges, results deduped
-by fingerprint, bounded by `maxCallDepth = 4`, `Engine.scala:320-321`)
-as an iterative dataset loop: each round joins the frontier against the
-edge table; visited-set dedup replaces TaskFingerprint.
+sink, explore backwards along REACHING_DEF, results deduped by
+fingerprint; call-site crossing per `TaskCreator` — into callees via
+their RETURNs, up to callers via argument/parameter matching — bounded
+by `maxCallDepth = 4`, `Engine.scala:320-321`; argument/return
+propagation per `DefaultSemantics.scala:24-60`) as an iterative Dataset
+loop:
 
-Implementation regime: the frontier is broadcast (`ray.put`) and each
-round streams the edge table once through a `map_batches` filter —
-rounds ≤ max_depth, so total work is max_depth edge scans regardless of
-frontier size.  (A shuffle-join variant keyed on obj would be the next
-regime for frontiers too large to broadcast.)
+- intra-procedural value hops walk REACHING_DEF backwards to a bounded
+  fixpoint, each hop one broadcast-frontier filter over a MATERIALIZED
+  (subj, obj) flow projection (scanned many times -> read Parquet once);
+- call crossings (<= max_call_depth) re-scan the Parquet edge/node
+  tables with is_in filters:
+    * a reached CALL node continues from its callee's RETURN statements
+      (result flows out of the return);
+    * a reached METHOD_PARAMETER_IN continues from the matching
+      argument (argument_index == parameter order) at every call site
+      of its method.
+
+Frontier/visited bookkeeping is numpy (sorted arrays + set ops), never
+a per-row Python loop.  The frontier is broadcast (`ray.put`); a
+shuffle-join frontier would be the next regime for frontiers too large
+to broadcast.
 """
 
 from __future__ import annotations
 
-from ..util import resolve_pool
-
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-MAX_DEPTH = 4  # reference default `Engine.scala:320-321`
+MAX_CALL_DEPTH = 4  # reference default `Engine.scala:320-321`
+MAX_VALUE_HOPS = 32  # intra-procedural fixpoint bound per call level
 
 _FLOW_PREDS = ("REACHING_DEF",)
 
 
-class _FrontierFilter:
-    """map_batches actor: emit (step_from, step_to) edge rows whose
-    match-end is in the broadcast frontier and pred in preds.
-    direction "back" walks obj->subj (reachableBy); "fwd" walks
-    subj->obj (forward taint)."""
+def _ids_array(ids) -> pa.Array:
+    if isinstance(ids, np.ndarray):
+        return pa.array(ids.astype(np.uint64), pa.uint64())
+    return pa.array(list(ids) or [], pa.uint64())
 
-    def __init__(self, frontier_ref, preds: tuple, direction: str = "back") -> None:
+
+def _scan_pairs(ds, pred: str, match_col: str, match_ids, emit_cols=("subj", "obj")):
+    """One streamed scan: rows with `pred` and match_col in match_ids;
+    returns the emit columns as numpy arrays."""
+    arr = _ids_array(match_ids)
+    if len(arr) == 0:
+        return tuple(np.empty(0, np.uint64) for _ in emit_cols)
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch.column("pred"), pred),
+            pc.is_in(batch.column(match_col), value_set=arr),
+        )
+        return batch.filter(m).select(list(emit_cols))
+
+    parts = list(ds.map_batches(f, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return tuple(np.empty(0, np.uint64) for _ in emit_cols)
+    t = pa.concat_tables(parts)
+    return tuple(
+        t.column(c).combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        for c in emit_cols
+    )
+
+
+def _node_meta(nodes_ds, ids, columns=("id", "label", "order", "argument_index")):
+    arr = _ids_array(ids)
+    if len(arr) == 0:
+        return None
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("id"), value_set=arr)).select(
+            list(columns)
+        )
+
+    parts = list(
+        nodes_ds.map_batches(f, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    return pa.concat_tables(parts) if parts else None
+
+
+class _FrontierFilter:
+    """map_batches UDF over the materialized flow projection: emit
+    (next, from) pairs whose match-end is in the broadcast frontier."""
+
+    def __init__(self, frontier_ref, direction: str = "back") -> None:
         import ray
 
-        f = ray.get(frontier_ref) if not isinstance(frontier_ref, (set, frozenset)) else frontier_ref
-        self.frontier = pa.array(list(f), pa.uint64())
-        self.preds = pa.array(list(preds), pa.string())
+        f = ray.get(frontier_ref) if not isinstance(frontier_ref, (set, frozenset, np.ndarray)) else frontier_ref
+        self.frontier = _ids_array(f)
         self.match_col, self.emit_col = ("obj", "subj") if direction == "back" else ("subj", "obj")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.is_in(batch.column("pred"), value_set=self.preds),
-            pc.is_in(batch.column(self.match_col), value_set=self.frontier),
-        )
+        m = pc.is_in(batch.column(self.match_col), value_set=self.frontier)
         b = batch.filter(m)
         return pa.table(
             {"next": b.column(self.emit_col), "from": b.column(self.match_col)}
         )
 
 
+def _flow_projection(edges_ds_factory, preds: tuple):
+    """Materialize the pred-filtered (subj, obj) flow edges once — the
+    hop loop scans these object-store blocks instead of re-reading and
+    re-filtering Parquet per hop."""
+    pred_arr = pa.array(list(preds), pa.string())
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch.column("pred"), value_set=pred_arr)
+        ).select(["subj", "obj"])
+
+    return (
+        edges_ds_factory().map_batches(f, batch_format="pyarrow").materialize()
+    )
+
+
+def _hop(flow_ds, frontier: np.ndarray, direction: str):
+    """One broadcast-frontier hop; returns (next, from) numpy arrays."""
+    import ray
+
+    fref = ray.put(frontier)
+    hits = flow_ds.map_batches(
+        _FrontierFilter,
+        fn_constructor_args=(fref, direction),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    parts = list(hits.iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    t = pa.concat_tables(parts)
+    return (
+        t.column("next").combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64),
+        t.column("from").combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64),
+    )
+
+
 def reachable_by(
     edges_ds_factory,
-    sink_ids: set[int],
-    max_depth: int = MAX_DEPTH,
+    sink_ids,
+    max_depth: int = MAX_VALUE_HOPS,
     preds: tuple = _FLOW_PREDS,
     direction: str = "back",
 ) -> pa.Table:
-    """Reachability from `sink_ids` along `preds` edges — backwards by
-    default (the reference engine explores from sinks,
+    """INTRA-procedural reachability from `sink_ids` along `preds` —
+    backwards by default (the engine explores from sinks,
     `Engine.scala:43-66`); direction="fwd" gives forward taint.
 
-    Returns (node, parent, depth): node reaches parent's flow at `depth`
-    steps from a seed.  `edges_ds_factory()` must yield a fresh edges
-    Dataset per round (Parquet-backed → each scan streams from disk).
+    Returns (node, parent, depth) rows; numpy bookkeeping throughout.
     """
-    import ray
-
-    visited: set[int] = set(sink_ids)
-    frontier: set[int] = set(sink_ids)
-    rows_node: list[int] = []
-    rows_parent: list[int] = []
-    rows_depth: list[int] = []
+    sinks = np.array(sorted(set(sink_ids)), dtype=np.uint64)
+    flow = _flow_projection(edges_ds_factory, preds)
+    visited = sinks.copy()
+    frontier = sinks
+    out_node: list[np.ndarray] = []
+    out_par: list[np.ndarray] = []
+    out_dep: list[np.ndarray] = []
     for depth in range(1, max_depth + 1):
-        if not frontier:
+        if frontier.size == 0:
             break
-        fref = ray.put(frozenset(frontier))
-        hits = edges_ds_factory().map_batches(
-            _FrontierFilter,
-            fn_constructor_args=(fref, preds, direction),
-            batch_format="pyarrow",
-            concurrency=resolve_pool(None),
+        nxt, frm = _hop(flow, frontier, direction)
+        if nxt.size == 0:
+            break
+        out_node.append(nxt)
+        out_par.append(frm)
+        out_dep.append(np.full(nxt.size, depth, dtype=np.int32))
+        fresh = np.unique(nxt[~np.isin(nxt, visited)])
+        if fresh.size == 0:
+            break
+        visited = np.union1d(visited, fresh)
+        frontier = fresh
+    if not out_node:
+        return pa.table(
+            {
+                "node": pa.array([], pa.uint64()),
+                "parent": pa.array([], pa.uint64()),
+                "depth": pa.array([], pa.int32()),
+            }
         )
-        new_frontier: set[int] = set()
-        for b in hits.iter_batches(batch_format="pyarrow"):
-            for s, o in zip(b.column("next").to_pylist(), b.column("from").to_pylist()):
-                rows_node.append(s)
-                rows_parent.append(o)
-                rows_depth.append(depth)
-                if s not in visited:
-                    visited.add(s)
-                    new_frontier.add(s)
-        frontier = new_frontier
     return pa.table(
         {
-            "node": pa.array(rows_node, pa.uint64()),
-            "parent": pa.array(rows_parent, pa.uint64()),
-            "depth": pa.array(rows_depth, pa.int32()),
+            "node": pa.array(np.concatenate(out_node), pa.uint64()),
+            "parent": pa.array(np.concatenate(out_par), pa.uint64()),
+            "depth": pa.array(np.concatenate(out_dep), pa.int32()),
+        }
+    )
+
+
+def reachable_by_interproc(
+    nodes_ds_factory,
+    edges_ds_factory,
+    sink_ids,
+    max_call_depth: int = MAX_CALL_DEPTH,
+    max_value_hops: int = MAX_VALUE_HOPS,
+) -> pa.Table:
+    """Interprocedural backwards reachability: REACHING_DEF fixpoint per
+    call level, then cross call sites (<= `max_call_depth` crossings —
+    the reference's call-depth budget, NOT value-hop count):
+
+    - reached CALL c with CALL edge c->M: continue from M's RETURN
+      statements (callee result flows out of returns);
+    - reached METHOD_PARAMETER_IN p of M (parameter `order` i): continue
+      from argument_index==i arguments of every call site of M.
+
+    Returns (node, call_depth) rows over everything reached.
+    """
+    flow = _flow_projection(edges_ds_factory, _FLOW_PREDS)
+    sinks = np.array(sorted(set(sink_ids)), dtype=np.uint64)
+    visited = sinks.copy()
+    out_nodes: list[np.ndarray] = [sinks]
+    out_cd: list[np.ndarray] = [np.zeros(sinks.size, dtype=np.int32)]
+    def _operator_args(level_nodes: np.ndarray) -> np.ndarray:
+        """Operator-semantics propagation (`DefaultSemantics.scala:24-60`
+        PassThroughMapping): arguments of a reached `<operator>.*` CALL
+        are reached too (e.g. the RHS call inside an assignment)."""
+        meta = _node_meta(nodes_ds_factory(), level_nodes, ("id", "label", "name"))
+        if meta is None or meta.num_rows == 0:
+            return np.empty(0, np.uint64)
+        ops = meta.filter(
+            pc.or_(
+                pc.and_(
+                    pc.equal(meta.column("label"), "CALL"),
+                    pc.starts_with(
+                        pc.coalesce(meta.column("name"), pa.scalar("")), "<operator>."
+                    ),
+                ),
+                # a reached RETURN propagates from its returned expression
+                pc.equal(meta.column("label"), "RETURN"),
+            )
+        )
+        if ops.num_rows == 0:
+            return np.empty(0, np.uint64)
+        op_ids = ops.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        _s, argn = _scan_pairs(edges_ds_factory(), "ARGUMENT", "subj", op_ids)
+        return argn
+
+    seed = sinks
+    for cd in range(0, max_call_depth + 1):
+        # intra-procedural fixpoint at this call level: alternate
+        # REACHING_DEF hops with operator-argument expansion
+        frontier = seed
+        for _round in range(8):
+            level_fresh: list[np.ndarray] = []
+            for _hopn in range(max_value_hops):
+                if frontier.size == 0:
+                    break
+                nxt, _frm = _hop(flow, frontier, "back")
+                fresh = np.unique(nxt[~np.isin(nxt, visited)]) if nxt.size else np.empty(0, np.uint64)
+                if fresh.size == 0:
+                    break
+                visited = np.union1d(visited, fresh)
+                out_nodes.append(fresh)
+                out_cd.append(np.full(fresh.size, cd, dtype=np.int32))
+                level_fresh.append(fresh)
+                frontier = fresh
+            # operator args of everything newly reached this round
+            pool = np.concatenate(level_fresh) if level_fresh else seed
+            argn = _operator_args(np.unique(pool)) if pool.size else np.empty(0, np.uint64)
+            fresh_args = np.unique(argn[~np.isin(argn, visited)]) if argn.size else np.empty(0, np.uint64)
+            if fresh_args.size == 0:
+                break
+            visited = np.union1d(visited, fresh_args)
+            out_nodes.append(fresh_args)
+            out_cd.append(np.full(fresh_args.size, cd, dtype=np.int32))
+            frontier = fresh_args
+            seed = fresh_args
+        if cd == max_call_depth:
+            break
+        # ---- call crossing -------------------------------------------
+        reached = np.concatenate(out_nodes)
+        meta = _node_meta(nodes_ds_factory(), np.unique(reached), ("id", "label", "order"))
+        if meta is None or meta.num_rows == 0:
+            break
+        lab = meta.column("label")
+        call_ids = (
+            meta.filter(pc.equal(lab, "CALL"))
+            .column("id")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        param_t = meta.filter(pc.equal(lab, "METHOD_PARAMETER_IN"))
+        next_seed: list[np.ndarray] = []
+        if call_ids.size:
+            # CALL c -> callee M -> M's RETURNs
+            _c, callees = _scan_pairs(edges_ds_factory(), "CALL", "subj", call_ids)
+            if callees.size:
+                _m, contained = _scan_pairs(
+                    edges_ds_factory(), "CONTAINS", "subj", np.unique(callees)
+                )
+                if contained.size:
+                    cmeta = _node_meta(
+                        nodes_ds_factory(), np.unique(contained), ("id", "label")
+                    )
+                    if cmeta is not None and cmeta.num_rows:
+                        rets = (
+                            cmeta.filter(pc.equal(cmeta.column("label"), "RETURN"))
+                            .column("id")
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.uint64)
+                        )
+                        next_seed.append(rets)
+        if param_t.num_rows:
+            # p -> its METHOD (AST parent) -> call sites -> matching args
+            p_ids = param_t.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            p_orders = {
+                int(o) for o in param_t.column("order").to_pylist() if o is not None
+            }
+            meths, _params = _scan_pairs(edges_ds_factory(), "AST", "obj", p_ids)
+            if meths.size:
+                callers, _m2 = _scan_pairs(
+                    edges_ds_factory(), "CALL", "obj", np.unique(meths)
+                )
+                if callers.size:
+                    _ca, argn = _scan_pairs(
+                        edges_ds_factory(), "ARGUMENT", "subj", np.unique(callers)
+                    )
+                    if argn.size:
+                        ameta = _node_meta(
+                            nodes_ds_factory(), np.unique(argn), ("id", "argument_index")
+                        )
+                        if ameta is not None and ameta.num_rows:
+                            # index-set match (conservative union across
+                            # crossed params; the reference maps exactly
+                            # per call site via FlowSemantics)
+                            ai = ameta.column("argument_index").to_numpy(zero_copy_only=False)
+                            aid = (
+                                ameta.column("id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.uint64)
+                            )
+                            keep = (
+                                np.isin(ai, list(p_orders))
+                                if p_orders
+                                else np.ones(len(ai), bool)
+                            )
+                            next_seed.append(aid[keep])
+        if not next_seed:
+            break
+        seed_arr = np.unique(np.concatenate(next_seed))
+        seed = seed_arr[~np.isin(seed_arr, visited)]
+        if seed.size == 0:
+            break
+        visited = np.union1d(visited, seed)
+        out_nodes.append(seed)
+        out_cd.append(np.full(seed.size, cd + 1, dtype=np.int32))
+    return pa.table(
+        {
+            "node": pa.array(np.concatenate(out_nodes), pa.uint64()),
+            "call_depth": pa.array(np.concatenate(out_cd), pa.int32()),
         }
     )
 
 
 def backward_slice(
     edges_ds_factory,
-    criterion_ids: set[int],
-    max_depth: int = MAX_DEPTH,
+    criterion_ids,
+    max_depth: int = 8,
     preds: tuple = ("REACHING_DEF", "CFG", "CDG"),
 ) -> set[int]:
     """Backward program slice: node ids influencing the criterion within
@@ -121,53 +377,70 @@ def taint_flows(
     edges_ds_factory,
     source_pred,
     sink_pred,
-    max_depth: int = MAX_DEPTH,
+    max_depth: int = MAX_VALUE_HOPS,
+    interprocedural: bool = True,
+    max_call_depth: int = MAX_CALL_DEPTH,
 ) -> pa.Table:
-    """reachableBy(sources, sinks): backwards from sink nodes along
-    REACHING_DEF; keep reached nodes that satisfy `source_pred`.
+    """reachableBy(sources, sinks): backwards from sink nodes; keep
+    reached nodes satisfying `source_pred`.
 
-    source_pred / sink_pred: functions (pa.Table nodes batch) -> boolean
-    mask (the DSL-filter analogue of `cpg.call("free").argument` etc.).
-    Returns (source, sink, depth) flow rows.
+    source_pred / sink_pred: (pa.Table nodes batch) -> boolean mask.
+    Returns (source, call_depth) rows — one per tainted source node.
     """
-    sinks: set[int] = set()
-    for b in nodes_ds_factory().iter_batches(batch_format="pyarrow"):
-        m = sink_pred(b)
-        sinks.update(b.filter(m).column("id").to_pylist())
-    if not sinks:
-        return pa.table(
-            {"source": pa.array([], pa.uint64()), "sink": pa.array([], pa.uint64()), "depth": pa.array([], pa.int32())}
+
+    def _collect_ids(pred_fn) -> np.ndarray:
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pred_fn(batch)).select(["id"])
+
+        parts = list(
+            nodes_ds_factory()
+            .map_batches(f, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
         )
-    reach = reachable_by(edges_ds_factory, sinks, max_depth)
-    # map each reached node to its originating sink by walking parents
-    parent_of: dict[tuple[int, int], list[int]] = {}
-    node_l = reach.column("node").to_pylist()
-    par_l = reach.column("parent").to_pylist()
-    dep_l = reach.column("depth").to_pylist()
-    # resolve transitive origin: depth-1 parents are sinks; deeper rows
-    # chain through any visited node
-    origin: dict[int, set[int]] = {s: {s} for s in sinks}
-    for d in range(1, (max(dep_l) if dep_l else 0) + 1):
-        for n, p, dd in zip(node_l, par_l, dep_l):
-            if dd == d and p in origin:
-                origin.setdefault(n, set()).update(origin[p])
-    sources: set[int] = set()
-    for b in nodes_ds_factory().iter_batches(batch_format="pyarrow"):
-        m = source_pred(b)
-        sources.update(b.filter(m).column("id").to_pylist())
-    out_s, out_k, out_d = [], [], []
-    depth_of: dict[int, int] = {}
-    for n, dd in zip(node_l, dep_l):
-        depth_of[n] = min(depth_of.get(n, dd), dd)
-    for n in set(node_l) & sources:
-        for snk in origin.get(n, ()):
-            out_s.append(n)
-            out_k.append(snk)
-            out_d.append(depth_of[n])
+        if not parts:
+            return np.empty(0, np.uint64)
+        return (
+            pa.concat_tables(parts)
+            .column("id")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+
+    sinks = _collect_ids(sink_pred)
+    if sinks.size == 0:
+        return pa.table(
+            {"source": pa.array([], pa.uint64()), "call_depth": pa.array([], pa.int32())}
+        )
+    if interprocedural:
+        reach = reachable_by_interproc(
+            nodes_ds_factory,
+            edges_ds_factory,
+            sinks,
+            max_call_depth=max_call_depth,
+            max_value_hops=max_depth,
+        )
+        nodes_r = reach.column("node").to_numpy(zero_copy_only=False).astype(np.uint64)
+        depth_r = reach.column("call_depth").to_numpy(zero_copy_only=False)
+    else:
+        reach = reachable_by(edges_ds_factory, sinks, max_depth)
+        nodes_r = reach.column("node").to_numpy(zero_copy_only=False).astype(np.uint64)
+        depth_r = reach.column("depth").to_numpy(zero_copy_only=False)
+    sources = _collect_ids(source_pred)
+    hit = np.isin(nodes_r, sources)
+    if not hit.any():
+        return pa.table(
+            {"source": pa.array([], pa.uint64()), "call_depth": pa.array([], pa.int32())}
+        )
+    src = nodes_r[hit]
+    dep = depth_r[hit]
+    # min depth per source (numpy group-min via lexsort + first-wins)
+    order = np.lexsort((dep, src))
+    src, dep = src[order], dep[order]
+    first = np.ones(src.size, bool)
+    first[1:] = src[1:] != src[:-1]
     return pa.table(
         {
-            "source": pa.array(out_s, pa.uint64()),
-            "sink": pa.array(out_k, pa.uint64()),
-            "depth": pa.array(out_d, pa.int32()),
+            "source": pa.array(src[first], pa.uint64()),
+            "call_depth": pa.array(dep[first].astype(np.int32), pa.int32()),
         }
     )

@@ -67,7 +67,7 @@ def _cpg_paths(sf_dir: str) -> dict:
             ds = ds.map_batches(lambda b: b.select(columns), batch_format="pyarrow")
         return ds
 
-    return build_cpg(docs_factory, out, f"corpus-{n}-seed42")
+    return build_cpg(docs_factory, out, f"corpus-{n}-seed42-v2")
 
 
 def cpg_node_counts(sf_dir: str) -> pa.Table:
@@ -468,7 +468,7 @@ def _raw_fragments_ds(sf_dir: str):
             batch_format="pyarrow",
         )
 
-    return checkpoint(factory, path, "fragments", f"corpus-{n}-seed42")
+    return checkpoint(factory, path, "fragments", f"corpus-{n}-seed42-v2")
 
 
 def _fragments_ds(sf_dir: str):
@@ -596,32 +596,35 @@ def media_feature_stats(sf_dir: str) -> pa.Table:
 
 def dataflow_malloc_to_free(sf_dir: str) -> pa.Table:
     """reachableBy demo (use-after-free shape, FIXTURES.md F3): flows
-    from malloc-assignments into `free` call arguments via REACHING_DEF,
-    bounded depth 4 (reference Engine maxCallDepth)."""
+    from malloc-assignments into `free` call arguments — interprocedural
+    (call-depth-bounded, reference Engine maxCallDepth=4)."""
     import ray.data
 
-    from ..graph.dataflow import taint_flows
+    from ..graph.dataflow import _scan_pairs, taint_flows
 
     res = _cpg_paths(sf_dir)
     nodes_f = lambda: ray.data.read_parquet(  # noqa: E731
-        res["nodes_path"], columns=["id", "label", "name", "code"]
+        res["nodes_path"], columns=["id", "label", "name", "code", "order", "argument_index"]
     )
     edges_f = lambda: ray.data.read_parquet(  # noqa: E731
         res["edges_path"], columns=["subj", "pred", "obj"]
     )
     # sink: the argument identifiers of free(...) calls — obj of ARGUMENT
-    # edges whose subj is a CALL named free
-    free_ids = set()
-    for b in nodes_f().iter_batches(batch_format="pyarrow"):
+    # edges whose subj is a CALL named free (vectorized is_in scans)
+    def _free_calls(b: pa.Table) -> pa.Table:
         m = pc.and_(pc.equal(b.column("label"), "CALL"), pc.equal(b.column("name"), "free"))
-        free_ids.update(b.filter(m).column("id").to_pylist())
-    arg_ids = set()
-    for b in edges_f().iter_batches(batch_format="pyarrow"):
-        m = pc.equal(b.column("pred"), "ARGUMENT")
-        bb = b.filter(m)
-        for s, o in zip(bb.column("subj").to_pylist(), bb.column("obj").to_pylist()):
-            if s in free_ids:
-                arg_ids.add(o)
+        return b.filter(m).select(["id"])
+
+    free_parts = list(
+        nodes_f().map_batches(_free_calls, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    )
+    free_ids = (
+        pa.concat_tables(free_parts).column("id").to_numpy(zero_copy_only=False)
+        if free_parts
+        else np.empty(0, np.uint64)
+    )
+    _subj, arg_np = _scan_pairs(edges_f(), "ARGUMENT", "subj", free_ids)
+    arg_ids = set(arg_np.tolist())
 
     def sink_pred(batch: pa.Table):
         return pc.is_in(batch.column("id"), value_set=pa.array(list(arg_ids) or [0], pa.uint64()))

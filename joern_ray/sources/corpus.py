@@ -162,8 +162,40 @@ def _f10_cpp(r: random.Random) -> str:
     )
 
 
-# (template fn, lang, weight) — language mix per FIXTURES.md: C 40 %,
-# JS 30 %, Java 20 %, C++ 10 %.
+def _f12_py_def(r: random.Random) -> str:
+    k = r.randint(0, 49)
+    n = r.randint(1, 9)
+    return (
+        f"def py_helper_{k}(x: int) -> int:\n"
+        f"    y = x + {n}\n"
+        "    return y\n"
+        f"def py_main_{r.randint(0, 199)}():\n"
+        f"    total = py_helper_{k}({n})\n"
+        "    for i in [1, 2, 3]:\n"
+        "        if i > 1:\n"
+        "            total += i\n"
+        "    return total\n"
+    )
+
+
+def _f13_py_class(r: random.Random) -> str:
+    cls = f"Handler{r.randint(0, 99)}"
+    v = r.randint(1, 9)
+    return (
+        f"class {cls}:\n"
+        "    def handle(self, x: int) -> int:\n"
+        "        return x\n"
+        f"class Retry{cls}({cls}):\n"
+        "    def handle(self, x: int) -> int:\n"
+        f"        return x + {v}\n"
+        f"def dispatch_{r.randint(0, 99)}(n: int) -> int:\n"
+        f"    h = {cls}()\n"
+        "    return h.handle(n)\n"
+    )
+
+
+# (template fn, lang, weight) — language mix: C 36 %, JS 25 %, Java 17 %,
+# Python 13 % (round 2: pysrc2cpg-analog frontend), C++ 9 %.
 _TEMPLATES: list[tuple] = [
     (_f1_c_call, "c", 8),
     (_f2_c_def, "c", 4),
@@ -173,8 +205,10 @@ _TEMPLATES: list[tuple] = [
     (_f7_dup, "c", 4),
     (_f8_hot, "c", 8),
     (_f9_neardup, "c", 4),
-    (_f5_js, "javascript", 30),
-    (_f6_java, "java", 20),
+    (_f5_js, "javascript", 28),
+    (_f6_java, "java", 19),
+    (_f12_py_def, "python", 8),
+    (_f13_py_class, "python", 7),
     (_f10_cpp, "cpp", 10),
     (_f11_json, "json", 4),
 ]

@@ -126,6 +126,9 @@ _LANG_ALIASES = {
     "java": "java",
     "javascript": "javascript",
     "js": "javascript",
+    "python": "python",
+    "py": "python",
+    "python3": "python",
 }
 
 

@@ -57,7 +57,8 @@ def test_taint_flow_malloc_to_free(ray_session, uaf_cpg):
     from joern_ray.graph.dataflow import taint_flows
 
     nodes_f = lambda: ray.data.read_parquet(  # noqa: E731
-        uaf_cpg["nodes_path"], columns=["id", "label", "name", "code"]
+        uaf_cpg["nodes_path"],
+        columns=["id", "label", "name", "code", "order", "argument_index"],
     )
     edges_f = lambda: ray.data.read_parquet(  # noqa: E731
         uaf_cpg["edges_path"], columns=["subj", "pred", "obj"]
@@ -223,3 +224,93 @@ def test_inherits_from_edges(ray_session):
     )
     types = nodes.filter(pc.equal(nodes.column("label"), "TYPE"))
     assert "Base" in types.column("full_name").to_pylist()
+
+
+def test_interprocedural_taint_across_documents(ray_session):
+    """Taint crosses call sites: malloc in get_buf (doc A) flows through
+    the return into use()'s local and reaches free's argument (doc B) —
+    requires the CALL->callee-RETURN crossing (Engine.scala call-depth
+    traversal), impossible with intra-proc REACHING_DEF alone."""
+    import ray.data
+
+    from joern_ray.graph.dataflow import taint_flows
+    from joern_ray.pipelines.cpg import build_cpg
+
+    doc_a = (
+        '<html><body><pre><code class="language-c">'
+        "char *get_buf(int n) {\n"
+        "  char *b = malloc(n);\n"
+        "  return b;\n"
+        "}\n"
+        "</code></pre></body></html>"
+    )
+    doc_b = (
+        '<html><body><pre><code class="language-c">'
+        "int use(void) {\n"
+        "  char *p = get_buf(8);\n"
+        "  free(p);\n"
+        "  return 0;\n"
+        "}\n"
+        "</code></pre></body></html>"
+    )
+    out = "/tmp/joern_ray_test_interproc"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def docs_factory(columns):
+        t = pa.table(
+            {
+                "url": ["https://ip/a", "https://ip/b"],
+                "warc_ts": pa.array([0, 1], pa.timestamp("us")),
+                "html": pa.array([doc_a.encode(), doc_b.encode()], pa.large_binary()),
+                "text": ["", ""],
+                "lang": ["en", "en"],
+            }
+        )
+        return ray.data.from_arrow(t)
+
+    res = build_cpg(docs_factory, out, "ip-1", num_partitions=2, parse_concurrency=1)
+    import ray.data
+
+    nodes_f = lambda: ray.data.read_parquet(  # noqa: E731
+        res["nodes_path"],
+        columns=["id", "label", "name", "code", "order", "argument_index"],
+    )
+    edges_f = lambda: ray.data.read_parquet(  # noqa: E731
+        res["edges_path"], columns=["subj", "pred", "obj"]
+    )
+    nodes = pa.concat_tables(list(nodes_f().iter_batches(batch_format="pyarrow")))
+    edges = pa.concat_tables(list(edges_f().iter_batches(batch_format="pyarrow")))
+    free_ids = set(
+        nodes.filter(
+            pc.and_(pc.equal(nodes.column("label"), "CALL"), pc.equal(nodes.column("name"), "free"))
+        ).column("id").to_pylist()
+    )
+    args = edges.filter(pc.equal(edges.column("pred"), "ARGUMENT"))
+    sink_ids = {
+        o
+        for s, o in zip(args.column("subj").to_pylist(), args.column("obj").to_pylist())
+        if s in free_ids
+    }
+    assert sink_ids
+
+    def sink_pred(batch):
+        return pc.is_in(
+            batch.column("id"), value_set=pa.array(list(sink_ids), pa.uint64())
+        )
+
+    def source_pred(batch):
+        return pc.and_(
+            pc.equal(batch.column("label"), "CALL"),
+            pc.match_substring(pc.coalesce(batch.column("code"), pa.scalar("")), "malloc("),
+        )
+
+    # interprocedural: reaches the malloc in doc A
+    flows = taint_flows(nodes_f, edges_f, source_pred, sink_pred)
+    assert flows.num_rows >= 1
+    assert (pc.min(flows.column("call_depth")).as_py() or 0) >= 1  # crossed a call
+    # intra-procedural alone must NOT reach it (the regression guard
+    # that MAX_DEPTH used to be frontier hops, not call depth)
+    flows_intra = taint_flows(
+        nodes_f, edges_f, source_pred, sink_pred, interprocedural=False
+    )
+    assert flows_intra.num_rows == 0

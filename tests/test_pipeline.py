@@ -75,8 +75,14 @@ def test_every_call_linked(ray_session, cpg):
     edges = _read_all(ray_session, cpg["edges_path"], columns=["subj", "pred", "obj", "variable"])
     calls = nodes.filter(pc.equal(nodes.column("label"), "CALL"))
     call_edges = edges.filter(pc.equal(edges.column("pred"), "CALL"))
-    # every CALL node has exactly one outgoing CALL edge (to method or stub)
-    assert call_edges.num_rows == calls.num_rows
+    # every CALL node has >= 1 outgoing CALL edge (method or stub);
+    # dynamic-dispatch sites legitimately carry one edge per
+    # SAFEDISPATCH candidate (e.g. the python Handler override template)
+    linked_subjects = set(call_edges.column("subj").to_pylist())
+    call_ids = set(calls.column("id").to_pylist())
+    unlinked = call_ids - linked_subjects
+    assert not unlinked, f"{len(unlinked)} CALL nodes without a CALL edge"
+    assert call_edges.num_rows >= calls.num_rows
     node_ids = set(nodes.column("id").to_pylist())
     dangling = [o for o in call_edges.column("obj").to_pylist() if o not in node_ids]
     assert dangling == []  # stubs exist for all unresolved targets
