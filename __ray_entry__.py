@@ -62,6 +62,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_dot_methods": q.export_dot_methods,
         "method_vectors_corpus": q.method_vectors_corpus,
         "export_pdg_methods": q.export_pdg_methods,
+        # round-2 additions
+        "customer_segment_counts": q.customer_segment_counts,
+        "part_size_stats": q.part_size_stats,
+        "orders_status_priority": q.orders_status_priority,
+        "events_user_daily_distinct": q.events_user_daily_distinct,
+        "word_freq_top20": q.word_freq_top20,
+        "orders_monthly_counts": q.orders_monthly_counts,
+        "doc_source_stats": q.doc_source_stats,
+        "method_lang_counts": q.method_lang_counts,
+        "scan_conformance": q.scan_conformance,
+        "usage_slice_stats": q.usage_slice_stats,
     }
 
 
@@ -134,5 +145,38 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 "
             "ORDER BY id_a, id_b"
+        ),
+        "customer_segment_counts": (
+            "SELECT c_mktsegment, count(*) AS n FROM customer "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "part_size_stats": (
+            "SELECT p_type, count(*) AS n, min(p_size) AS min_size, "
+            "max(p_size) AS max_size FROM part GROUP BY p_type ORDER BY p_type"
+        ),
+        "orders_status_priority": (
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
+            "GROUP BY o_orderstatus, o_orderpriority "
+            "ORDER BY o_orderstatus, o_orderpriority"
+        ),
+        "events_user_daily_distinct": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+            "count(DISTINCT user_id) AS n_users FROM events "
+            "GROUP BY day ORDER BY day"
+        ),
+        "word_freq_top20": (
+            "SELECT word, count(*) AS n FROM ("
+            "SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word "
+            "FROM documents) WHERE word <> '' "
+            "GROUP BY word ORDER BY n DESC, word LIMIT 20"
+        ),
+        "orders_monthly_counts": (
+            "SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n "
+            "FROM orders GROUP BY month ORDER BY month"
+        ),
+        "doc_source_stats": (
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents "
+            "GROUP BY source ORDER BY source"
         ),
     }

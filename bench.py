@@ -112,7 +112,7 @@ def run_cpg_build(num_cpus: int) -> dict:
     parse_edge_rows, _ = _footer_row_count(
         os.path.join(res["parse_path"], "row_kind=edge")
     )
-    n_rows = node_rows + linked_manifest["total_rows"] + parse_edge_rows
+    n_rows = node_rows + linked_manifest.get("total_rows", linked_manifest.get("rows", 0)) + parse_edge_rows
     return {
         "sec": wall,
         "rows": n_rows,
@@ -181,10 +181,16 @@ def main_child(num_cpus: int) -> None:
 
 
 def main_scaling() -> None:
-    """Fresh process per parallelism level (N=8, 4N=32)."""
+    """Fresh process per parallelism level (N=8, 4N=32).
+
+    Defaults to a 600k-doc corpus (~6x the bench default): at 100k docs
+    the job is session-overhead-bound and the ratio measures Ray fixed
+    costs, not the engine (BASELINE.md scaling section).  Takes ~12 min.
+    """
     results = {}
     for n in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        env.setdefault("JOERN_RAY_BENCH_DOCS", "600000")
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", str(n)],
             capture_output=True,

@@ -444,3 +444,63 @@ def taint_flows(
             "call_depth": pa.array(dep[first].astype(np.int32), pa.int32()),
         }
     )
+
+
+def usage_slices(edges_ds_factory):
+    """UsageSlicing analog (reference `slicing/UsageSlicing.scala:61-62`
+    collects per-declaration usage: calls invoked on parameters/locals).
+
+    Distributed shape: REF edges (identifier -> declaration) and
+    ARGUMENT edges (call -> identifier) union-tagged on the identifier
+    and grouped ONCE — each group emits (declaration, n_call_usages).
+    A second tiny groupby sums per declaration.  No driver-side joins;
+    identifiers are not hot keys, so the groupby needs no salting.
+
+    Returns a Dataset of (target, n_uses).
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        refs = batch.filter(pc.equal(batch.column("pred"), "REF"))
+        args = batch.filter(pc.equal(batch.column("pred"), "ARGUMENT"))
+        return pa.table(
+            {
+                "key": pa.concat_arrays(
+                    [
+                        refs.column("subj").combine_chunks().cast(pa.uint64()),
+                        args.column("obj").combine_chunks().cast(pa.uint64()),
+                    ]
+                ),
+                "side": pa.array(
+                    ["R"] * refs.num_rows + ["A"] * args.num_rows, pa.string()
+                ),
+                "other": pa.concat_arrays(
+                    [
+                        refs.column("obj").combine_chunks().cast(pa.uint64()),
+                        args.column("subj").combine_chunks().cast(pa.uint64()),
+                    ]
+                ),
+            }
+        )
+
+    tagged = (
+        edges_ds_factory().map_batches(tag, batch_format="pyarrow").materialize()
+    )
+
+    def per_ident(batch: pa.Table) -> pa.Table:
+        side = batch.column("side")
+        r = batch.filter(pc.equal(side, "R"))
+        n_a = batch.num_rows - r.num_rows
+        if r.num_rows == 0 or n_a == 0:
+            return pa.table(
+                {"target": pa.array([], pa.uint64()), "n_uses": pa.array([], pa.int64())}
+            )
+        tgt = r.column("other")[0].as_py()
+        return pa.table(
+            {
+                "target": pa.array([tgt], pa.uint64()),
+                "n_uses": pa.array([n_a], pa.int64()),
+            }
+        )
+
+    per = tagged.groupby("key").map_groups(per_ident, batch_format="pyarrow")
+    return per.groupby("target").sum("n_uses")

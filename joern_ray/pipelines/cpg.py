@@ -34,6 +34,8 @@ import os
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.hashing import hash64
+from ..io.checkpoint import ENGINE_VERSION as _ENGINE_VERSION
 from ..io.checkpoint import checkpoint, manifest_matches, partitioned_write
 from ..schemas import EDGES_SCHEMA, NODES_SCHEMA, REJECTS_SCHEMA, rows_to_table
 from ..stages.extract import detect_fragments_batch
@@ -275,12 +277,22 @@ def build_cpg(
     # "node" kind now excludes METHOD/TYPE_DECL rows — they live in their
     # own mtnode partition (written by the parse stage)
     nodes_plain = lambda: read_union_split(parse_path, "node")  # noqa: E731
+    # the LINK scan needs only the identity/linking columns — dropping
+    # code/line/col/etc. halves the bytes moved through the linker
+    # (code snippets dominate the node payload)
+    _LINK_COLS = [
+        "id", "label", "name", "full_name", "signature",
+        "method_full_name", "type_full_name", "url",
+    ]
+    nodes_for_link = lambda: ray.data.read_parquet(  # noqa: E731
+        os.path.join(parse_path, "row_kind=node"), columns=_LINK_COLS
+    )
     mt_ds = lambda: read_union_split(parse_path, "mtnode")  # noqa: E731
 
     # ---- stage: survey (read the parse-emitted partials — tiny files) -
     import polars as pl
 
-    sv: dict = {"m": {}, "td": {}, "ty": {}, "ns": {}, "ca": {}, "rt": {}}
+    sv: dict = {"m": {}, "td": {}, "ty": {}, "ns": {}, "ca": {}, "rt": {}, "am": {}, "ax": {}}
     sv_parts = list(
         read_union_split(parse_path, "survey").iter_batches(batch_format="pyarrow")
     )
@@ -288,11 +300,18 @@ def build_cpg(
         svdf = (
             pl.from_arrow(pa.concat_tables(sv_parts))
             .group_by(["skind", "skey"])
-            .agg(pl.col("sc").sum())
+            .agg(
+                pl.col("sc").sum().alias("s_sum"),
+                pl.col("sc").min().alias("s_min"),
+                pl.col("sc").max().alias("s_max"),
+            )
         )
+        # 'am' aggregates by min, 'ax' by max (CallSummary arg stats);
+        # every other kind sums its partial counts
+        _agg_col = {"am": "s_min", "ax": "s_max"}
         for k in sv:
             sub = svdf.filter(pl.col("skind") == k)
-            sv[k] = dict(zip(sub["skey"].to_list(), sub["sc"].to_list()))
+            sv[k] = dict(zip(sub["skey"].to_list(), sub[_agg_col.get(k, "s_sum")].to_list()))
     _mark("survey")
     dup_fqns = frozenset(
         k for d in (sv["m"], sv["td"]) for k, c in d.items() if c >= 2
@@ -332,7 +351,7 @@ def build_cpg(
             return mt_unique.union(mt_dups)
 
         checkpoint(canonical_factory, canon_path, "canonical_mt", parse_fp)
-        canonical_mt_for_write = ray.data.read_parquet(canon_path)
+        canonical_mt_for_write = ray.data.read_parquet(canon_path, columns=_LINK_COLS)
     else:
         canonical_mt_for_write = None
     _mark("canonicalize")
@@ -367,6 +386,25 @@ def build_cpg(
     from ..stages.link import build_dyn_candidates
 
     dyn_fqn = build_dyn_candidates(td_proj, sv["ca"].keys(), known)
+    # NaiveCallLinker fallback (reference `NaiveCallLinker.scala:12-29`):
+    # a dotted call fqn that neither resolves by full name nor by
+    # dynamic dispatch links to the UNIQUE known method sharing its
+    # terminal name (ambiguous names stay stubs).  Riding the dyn-
+    # candidate machinery makes both link regimes handle it identically.
+    name_to_fqns: dict[str, list[str]] = {}
+    for f in known:
+        name_to_fqns.setdefault(f.rsplit(".", 1)[-1], []).append(f)
+    for fqn in sv["ca"].keys():
+        if (
+            fqn in known
+            or fqn in dyn_fqn
+            or "." not in fqn
+            or fqn.startswith("<operator>")
+        ):
+            continue
+        cands = name_to_fqns.get(fqn.rsplit(".", 1)[-1])
+        if cands and len(cands) == 1:
+            dyn_fqn[fqn] = [cands[0]]
     dyn_ref = ray.put(dyn_fqn)
     if use_broadcast:
         # broadcast regime: collect ONLY the 3-column method index
@@ -418,9 +456,28 @@ def build_cpg(
             dyn_fqn_ref=dyn_ref,
         )
 
-    # dimensions + stubs — derived from the survey, zero extra passes
-    stub_fqns = sorted(set(sv["ca"].keys()) - known)
+    # dimensions + stubs — derived from the survey, zero extra passes.
+    # Stubs exclude dyn/naive-resolved fqns (those always link to a real
+    # method); TYPE dims include TYPE_DECL fqns so the map-side
+    # TypeRefPass REF edges always have their TYPE endpoint.
+    stub_fqns = sorted(set(sv["ca"].keys()) - known - set(dyn_fqn.keys()))
     dim_rows: list[dict] = [
+        {
+            "id": hash64("META_DATA", fingerprint),
+            "label": "META_DATA",
+            "name": "joern_ray",
+            "full_name": fingerprint,
+            "signature": _ENGINE_VERSION,
+            # overlays present in this build (reference
+            # `MetaDataPass.scala:15-39` records language + overlays)
+            "code": "base;cfg;dominators;cdg;reachingdef;contains;linking;typerel;dedup",
+            "lang": "c;cpp;java;javascript;python",
+            "order": 0,
+            "argument_index": -1,
+            "line": -1,
+            "col": -1,
+        }
+    ] + [
         {
             "id": type_id(f),
             "label": "TYPE",
@@ -431,7 +488,7 @@ def build_cpg(
             "line": -1,
             "col": -1,
         }
-        for f in sorted(set(sv["ty"].keys()) | extra_types)
+        for f in sorted(set(sv["ty"].keys()) | extra_types | set(sv["td"].keys()))
     ] + [
         {
             "id": namespace_id(n),
@@ -450,7 +507,10 @@ def build_cpg(
             "label": "METHOD",
             "name": f.rsplit(".", 1)[-1] if not f.startswith("<operator>") else f,
             "full_name": f,
-            "signature": "",
+            # CallSummary aggregate (reference MethodStubCreator keeps
+            # min/max arg counts per distinct unresolved name): the stub
+            # signature carries max-arity ANY parameters
+            "signature": "ANY(" + ",".join(["ANY"] * int(sv["ax"].get(f, 0))) + ")",
             "code": "<empty>",
             "order": 0,
             "argument_index": -1,
@@ -481,7 +541,9 @@ def build_cpg(
     # completion marker for the whole chain)
 
     def all_nodes():
-        base = nodes_plain()
+        """Column-pruned union of plain + canonical nodes feeding the
+        linker (nothing else consumes this)."""
+        base = nodes_for_link()
         if canonical_mt_for_write is not None:
             base = base.union(canonical_mt_for_write)
         return base
@@ -506,10 +568,34 @@ def build_cpg(
     # edges write + MinHash equivalence run concurrently (independent)
     import threading
 
+    # settle a lazy-import RACE before the concurrent writes: Ray's path
+    # resolution probes `fsspec.implementations.http` on every dataset
+    # construction; the container has no aiohttp, so the import always
+    # fails and is retried — two driver threads importing it
+    # concurrently can observe a partially-initialized module ("cannot
+    # import name HTTPFileSystem") and crash.  Register a stub module
+    # once so the probe import succeeds; Ray only touches the name after
+    # an isinstance(PyFileSystem) gate that local paths never pass.
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:  # noqa: BLE001
+        import types as _types
+
+        _stub = _types.ModuleType("fsspec.implementations.http")
+        _stub.HTTPFileSystem = type("HTTPFileSystem", (), {})
+        sys.modules["fsspec.implementations.http"] = _stub
+
     errs: list[BaseException] = []
 
     def _w(ds_, path_, name_):
         try:
+            # partitioned write (hash by subj, per-partition manifests).
+            # A streaming write_parquet (no materialize/shuffle) was
+            # measured as the alternative at 600k docs: faster at 8 CPUs
+            # (470s vs 534s total) but slower at 32 (240s vs 225s — one
+            # small file per block beats the coalescing shuffle only
+            # when CPUs are scarce); the partitioned layout also keeps
+            # partition-level resume, so it stays the default.
             partitioned_write(ds_, path_, name_, parse_fp, num_partitions)
         except BaseException as e:  # noqa: BLE001
             errs.append(e)

@@ -808,3 +808,264 @@ def scan_bundle(sf_dir: str) -> pa.Table:
             "n_findings": pa.array([v for _, v in rows], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: more oracle-checkable wide operators
+# ---------------------------------------------------------------------------
+
+
+def customer_segment_counts(sf_dir: str) -> pa.Table:
+    out = (
+        _read(sf_dir, "customer", ["c_mktsegment"])
+        .groupby("c_mktsegment")
+        .count()
+        .sort("c_mktsegment")
+    )
+    t = _collect(out)
+    return t.rename_columns(["c_mktsegment", "n"])
+
+
+def part_size_stats(sf_dir: str) -> pa.Table:
+    """Per-type part size stats (combiner pattern, exact ints)."""
+    ds = _read(sf_dir, "part", ["p_type", "p_size"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch)
+            .group_by("p_type")
+            .agg(
+                pl.len().alias("c"),
+                pl.col("p_size").min().alias("mn"),
+                pl.col("p_size").max().alias("mx"),
+            )
+            .to_arrow()
+        )
+
+    import polars as pl
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    return (
+        pl.from_arrow(t)
+        .group_by("p_type")
+        .agg(
+            pl.col("c").sum().alias("n"),
+            pl.col("mn").min().alias("min_size"),
+            pl.col("mx").max().alias("max_size"),
+        )
+        .sort("p_type")
+        .to_arrow()
+    )
+
+
+def orders_status_priority(sf_dir: str) -> pa.Table:
+    """Two-key groupby counts."""
+    out = (
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .count()
+    )
+    t = _collect(out).rename_columns(["o_orderstatus", "o_orderpriority", "n"])
+    return t.sort_by(
+        [("o_orderstatus", "ascending"), ("o_orderpriority", "ascending")]
+    )
+
+
+def events_user_daily_distinct(sf_dir: str) -> pa.Table:
+    """Distinct users per day: per-batch (day, user) distinct partials,
+    exact distinct via groupby, then per-day counts — two small shuffles
+    of pre-deduped pairs, never the raw events."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        t = pa.table({"day": day, "user_id": batch.column("user_id")})
+        import polars as pl
+
+        return pl.from_arrow(t).unique().to_arrow()
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+
+    def first_only(batch: pa.Table) -> pa.Table:
+        return batch.slice(0, 1)
+
+    uniq = pairs.groupby(["day", "user_id"]).map_groups(first_only, batch_format="pyarrow")
+    out = uniq.groupby("day").count().sort("day")
+    return _collect(out).rename_columns(["day", "n_users"])
+
+
+def word_freq_top20(sf_dir: str) -> pa.Table:
+    """Canonical wordcount over the documents table: vectorized
+    split_pattern per batch -> per-batch value_counts (combiner) ->
+    small groupby sum -> driver top-20 with deterministic ties."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = pc.coalesce(batch.column("text"), pa.scalar(""))
+        toks = pc.list_flatten(pc.split_pattern_regex(col, pattern=r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table(
+            {"word": vc.field("values").cast(pa.string()), "c": vc.field("counts")}
+        )
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("word").sum("c")
+    t = _collect(out).rename_columns(["word", "n"])
+    t = t.take(
+        pc.sort_indices(t, sort_keys=[("n", "descending"), ("word", "ascending")])[:20]
+    )
+    return t
+
+
+def orders_monthly_counts(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.strftime(batch.column("o_orderdate"), format="%Y-%m")
+        return pa.table({"month": m})
+
+    out = ds.map_batches(f, batch_format="pyarrow").groupby("month").count().sort("month")
+    return _collect(out).rename_columns(["month", "n"])
+
+
+def doc_source_stats(sf_dir: str) -> pa.Table:
+    """Per-source doc counts + total chars (combiner, exact ints)."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch)
+            .group_by("source")
+            .agg(pl.len().alias("c"), pl.col("n_chars").sum().alias("s"))
+            .to_arrow()
+        )
+
+    import polars as pl
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    return (
+        pl.from_arrow(t)
+        .group_by("source")
+        .agg(pl.col("c").sum().alias("n_docs"), pl.col("s").sum().alias("total_chars"))
+        .sort("source")
+        .to_arrow()
+    )
+
+
+def taint_interproc_corpus(sf_dir: str) -> pa.Table:
+    """Interprocedural malloc->free taint stats over the corpus CPG:
+    tainted sources by call depth (Engine maxCallDepth crossing)."""
+    t = dataflow_malloc_to_free(sf_dir)
+    return t
+
+
+def method_lang_counts(sf_dir: str) -> pa.Table:
+    """METHOD rows per source language (frontend coverage witness —
+    includes the python frontend output)."""
+    import ray.data
+
+    res = _cpg_paths(sf_dir)
+    ds = ray.data.read_parquet(res["nodes_path"], columns=["label", "lang"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("label"), "METHOD"))
+        return pa.table({"lang": pc.coalesce(b.column("lang"), pa.scalar(""))})
+
+    out = ds.map_batches(f, batch_format="pyarrow").groupby("lang").count().sort("lang")
+    return _collect(out).rename_columns(["lang", "n_methods"])
+
+
+def scan_conformance(sf_dir: str) -> pa.Table:
+    """Per-query conformance over the embedded code examples (reference
+    QueryUtil codeExamples): compiles every example through the real
+    pipeline once, asserts positive flagged / negative silent."""
+    import ray.data
+
+    from ..pipelines.cpg import build_cpg
+    from ..query.dsl import Cpg
+    from ..query.scanners import BUNDLE
+
+    urls, htmls = [], []
+
+    def esc(code: str) -> str:
+        return code.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    for q in BUNDLE:
+        if q.examples is None:
+            continue
+        for kind, code in (("pos", q.examples.positive), ("neg", q.examples.negative)):
+            urls.append(f"https://ex/{q.name}/{kind}")
+            htmls.append(
+                (
+                    f'<pre><code class="language-{q.examples.lang}">{esc(code)}</code></pre>'
+                ).encode()
+            )
+    t = pa.table(
+        {
+            "url": urls,
+            "warc_ts": pa.array(list(range(len(urls))), pa.timestamp("us")),
+            "html": pa.array(htmls, pa.large_binary()),
+            "text": [""] * len(urls),
+            "lang": ["en"] * len(urls),
+        }
+    )
+    out = "/tmp/joern_ray_cache/scanconf"
+    res = build_cpg(
+        lambda columns: ray.data.from_arrow(t),
+        out,
+        "scanconf-examples-v1",
+        num_partitions=2,
+    )
+    cpg = Cpg(res["nodes_path"], res["edges_path"])
+    rows = []
+    for q in BUNDLE:
+        if q.examples is None:
+            continue
+        got = q.traversal(cpg)
+        flagged = set(got.column("url").to_pylist())
+        rows.append(
+            {
+                "query": q.name,
+                "pos_flagged": f"https://ex/{q.name}/pos" in flagged,
+                "neg_silent": f"https://ex/{q.name}/neg" not in flagged,
+            }
+        )
+    rows.sort(key=lambda r: r["query"])
+    return pa.table(
+        {
+            "query": pa.array([r["query"] for r in rows], pa.string()),
+            "pos_flagged": pa.array([r["pos_flagged"] for r in rows], pa.bool_()),
+            "neg_silent": pa.array([r["neg_silent"] for r in rows], pa.bool_()),
+        }
+    )
+
+
+def usage_slice_stats(sf_dir: str) -> pa.Table:
+    """UsageSlicing histogram: how many declarations have N call-site
+    usages (per-declaration usage degree) over the corpus CPG."""
+    import ray.data
+
+    from ..graph.dataflow import usage_slices
+
+    res = _cpg_paths(sf_dir)
+    edges_f = lambda: ray.data.read_parquet(  # noqa: E731
+        res["edges_path"], columns=["subj", "pred", "obj"]
+    )
+    per = usage_slices(edges_f)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column("sum(n_uses)").combine_chunks().value_counts()
+        return pa.table(
+            {
+                "n_uses": vc.field("values").cast(pa.int64()),
+                "c": vc.field("counts"),
+            }
+        )
+
+    out = per.map_batches(hist_partial, batch_format="pyarrow").groupby("n_uses").sum("c")
+    t = _collect(out).rename_columns(["n_uses", "n_decls"])
+    return t.sort_by("n_uses")

@@ -129,6 +129,98 @@ class NodeSteps:
     def ref(self) -> "NodeSteps":
         return self._expand(("REF",), "out")
 
+    def ast_siblings(self) -> "NodeSteps":
+        """Nodes sharing an AST parent with this set, excluding the set
+        itself (reference `AstNodeTraversal.astSiblings`)."""
+        own = self._ids()
+        sibs = self.ast_parent().ast_children()
+        sarr = pa.array(list(own), pa.uint64())
+
+        def drop_self(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.invert(pc.is_in(batch.column("id"), value_set=sarr))
+            )
+
+        return NodeSteps(self.cpg, sibs.ds.map_batches(drop_self, batch_format="pyarrow"))
+
+    def in_ast(self, max_depth: int = 32) -> "NodeSteps":
+        """Transitive AST ancestors (reference `AstNodeTraversal.inAst`):
+        repeated parent hops, union of every level."""
+        import ray.data
+
+        seen: set[int] = set()
+        cur = self
+        for _ in range(max_depth):
+            cur = cur.ast_parent()
+            ids = cur._ids()
+            fresh = ids - seen
+            if not fresh:
+                break
+            seen |= fresh
+        arr = pa.array(list(seen) or [0], pa.uint64())
+
+        def pick(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column("id"), value_set=arr))
+
+        return NodeSteps(self.cpg, self.cpg.nodes_ds().map_batches(pick, batch_format="pyarrow"))
+
+    def where(self, fn) -> "NodeSteps":
+        """Keep nodes for which `fn(single-node steps)` is non-empty —
+        the reference `where` combinator as a set-semijoin: fn is applied
+        to the WHOLE set and survivors filter the original."""
+        keep = fn(self)._ids()
+        arr = pa.array(list(keep) or [0], pa.uint64())
+        return self._filter(
+            lambda b: b.filter(pc.is_in(b.column("id"), value_set=arr))
+        )
+
+    def where_not(self, fn) -> "NodeSteps":
+        """Complement of `where` (reference `whereNot`)."""
+        drop = fn(self)._ids()
+        arr = pa.array(list(drop) or [0], pa.uint64())
+        return self._filter(
+            lambda b: b.filter(pc.invert(pc.is_in(b.column("id"), value_set=arr)))
+        )
+
+    def dedup(self) -> "NodeSteps":
+        """Distinct by node id (reference `dedup`)."""
+        seen: set[int] = set()
+        parts: list[pa.Table] = []
+        for b in self.ds.iter_batches(batch_format="pyarrow"):
+            ids = b.column("id").to_pylist()
+            keep = [i for i, nid in enumerate(ids) if nid not in seen and not seen.add(nid)]
+            parts.append(b.take(keep))
+        import ray.data
+
+        t = pa.concat_tables(parts) if parts else None
+        if t is None:
+            from ..schemas import NODES_SCHEMA
+
+            t = NODES_SCHEMA.empty_table()
+        return NodeSteps(self.cpg, ray.data.from_arrow(t))
+
+    def group_count(self, column: str = "name") -> pa.Table:
+        """Frequency of a property over the set (reference `groupCount`),
+        distributed partial counts."""
+        def partial(b: pa.Table) -> pa.Table:
+            vc = pc.coalesce(b.column(column), pa.scalar("")).combine_chunks().value_counts()
+            return pa.table({column: vc.field("values").cast(pa.string()), "n": vc.field("counts")})
+
+        parts = list(
+            self.ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        )
+        if not parts:
+            return pa.table({column: pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        import polars as pl
+
+        return (
+            pl.from_arrow(pa.concat_tables(parts))
+            .group_by(column)
+            .agg(pl.col("n").sum())
+            .sort(column)
+            .to_arrow()
+        )
+
     # dataflow extension (reference ExtendedCfgNode.reachableBy)
     def reachable_by(self, sources: "NodeSteps", max_depth: int = 4) -> "NodeSteps":
         from ..graph.dataflow import reachable_by as _rb

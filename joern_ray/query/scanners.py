@@ -29,6 +29,18 @@ FINDING_COLS = ["name", "url", "line", "message"]
 
 
 @dataclass(frozen=True)
+class CodeExamples:
+    """Reference `QueryUtil.scala:7-14`: each query embeds positive
+    (must-flag) and negative (must-not-flag) example programs; the
+    conformance harness compiles them through the REAL pipeline and
+    asserts findings/non-findings."""
+
+    positive: str
+    negative: str
+    lang: str = "c"
+
+
+@dataclass(frozen=True)
 class Query:
     """Reference `macros/.../Query.scala:10-22`: name/title/description/
     score + traversal."""
@@ -38,6 +50,7 @@ class Query:
     score: float
     traversal: Callable[[Cpg], pa.Table]
     tags: tuple = ()
+    examples: "CodeExamples | None" = None
 
 
 def _findings(t: pa.Table, qname: str, message: str) -> pa.Table:
@@ -126,15 +139,205 @@ def q_large_stack_buffer(cpg: Cpg) -> pa.Table:
     return _findings(t, "large-stack-buffer", "large stack buffer")
 
 
+def q_int_mult_alloc(cpg: Cpg) -> pa.Table:
+    """`c/IntegerOverflows` shape: multiplication inside an allocation
+    size argument (n * size overflows before malloc sees it)."""
+    t = cpg.call().code(".*malloc\\([^)]*\\*[^)]*\\).*").l(["url", "line", "code"])
+    return _findings(t, "mult-in-alloc", "multiplication inside malloc size")
+
+
+def q_sql_concat(cpg: Cpg) -> pa.Table:
+    """java/SQLInjection shape: executeQuery/execute with a concatenated
+    (non-literal) argument."""
+    calls = cpg.call("^(executeQuery|executeUpdate|execute|rawQuery)$")
+    args = calls.argument().l(["id", "label", "name", "url", "line", "code"])
+    conc = args.filter(
+        pc.or_(
+            pc.equal(pc.coalesce(args.column("name"), pa.scalar("")), "<operator>.addition"),
+            pc.equal(args.column("label"), "IDENTIFIER"),
+        )
+    )
+    return _findings(conc, "sql-injection-candidate", "non-literal SQL query")
+
+
+def q_hardcoded_credential(cpg: Cpg) -> pa.Table:
+    """Hardcoded secret shape: assignment whose code looks like
+    password/secret/token = \"literal\"."""
+    t = (
+        cpg.call("^<operator>\\.assignment$")
+        .code('(?i).*(password|passwd|secret|api_key|apikey|token)\\s*=\\s*"[^"]+".*')
+        .l(["url", "line", "code"])
+    )
+    return _findings(t, "hardcoded-credential", "credential in source")
+
+
+def q_weak_crypto(cpg: Cpg) -> pa.Table:
+    """Weak-hash usage: MD5/SHA1/DES primitives."""
+    t = _calls_to(cpg, "^(?i)(md5|md5_init|sha1|sha1_init|des_encrypt)$")
+    return _findings(t, "weak-crypto", "weak cryptographic primitive")
+
+
+def q_js_eval(cpg: Cpg) -> pa.Table:
+    """js: eval()/new Function() on dynamic input."""
+    t = _calls_to(cpg, "^eval$")
+    return _findings(t, "js-eval", "dynamic code evaluation")
+
+
+def q_py_exec(cpg: Cpg) -> pa.Table:
+    """python: exec()/eval()/os.system()/pickle.loads sinks."""
+    calls = cpg.call("^(exec|eval|system|loads)$").l(
+        ["url", "line", "code", "method_full_name"]
+    )
+    mask = [
+        bool(m)
+        and (
+            m in ("exec", "eval")
+            or m.endswith(".system")
+            or m.endswith(".loads")
+            or m in ("system", "loads")
+        )
+        for m in calls.column("method_full_name").to_pylist()
+    ]
+    t = calls.filter(pa.array(mask))
+    return _findings(t, "py-exec", "dynamic execution / unsafe deserialization")
+
+
+def q_empty_catch(cpg: Cpg) -> pa.Table:
+    """Swallowed exceptions: CATCH with an empty body block."""
+    catches = cpg.control_structure().name_exact("CATCH")
+    kids = catches.ast_children()
+    blocks = kids.l(["id", "label", "url", "line", "code"])
+    block_ids = set(
+        blocks.filter(pc.equal(blocks.column("label"), "BLOCK")).column("id").to_pylist()
+    )
+    grandkids = kids.ast_children().l(["id"])
+    nonempty_parents: set[int] = set()
+    if grandkids.num_rows:
+        # a block with any child is non-empty; find parents via edges
+        par = kids.l(["id"])  # noqa: F841 — parents resolved below
+        edges = pa.concat_tables(
+            list(cpg.edges_ds().iter_batches(batch_format="pyarrow"))
+        )
+        ast = edges.filter(pc.equal(edges.column("pred"), "AST"))
+        gk = set(grandkids.column("id").to_pylist())
+        for s, o in zip(ast.column("subj").to_pylist(), ast.column("obj").to_pylist()):
+            if o in gk and s in block_ids:
+                nonempty_parents.add(s)
+    empty_blocks = block_ids - nonempty_parents
+    t = blocks.filter(
+        pc.is_in(blocks.column("id"), value_set=pa.array(list(empty_blocks) or [0], pa.uint64()))
+    )
+    return _findings(t, "empty-catch", "exception swallowed")
+
+
+def q_strncpy_sizeof(cpg: Cpg) -> pa.Table:
+    """strncpy whose size is sizeof(src) (classic off-by-one family)."""
+    t = cpg.call("^strncpy$").code(".*sizeof.*").l(["url", "line", "code"])
+    return _findings(t, "strncpy-sizeof", "strncpy size from sizeof")
+
+
+def q_atoi_unchecked(cpg: Cpg) -> pa.Table:
+    """atoi/atol without error handling (`c/IntegerTruncations` shape)."""
+    t = _calls_to(cpg, "^(atoi|atol|atoll)$")
+    return _findings(t, "unchecked-atoi", "unchecked numeric conversion")
+
+
 BUNDLE: tuple[Query, ...] = (
-    Query("call-to-gets", "Dangerous function gets()", 8.0, q_gets, ("c", "cwe-242")),
-    Query("unbounded-string-copy", "strcpy/strcat/sprintf", 7.0, q_strcpy, ("c", "cwe-120")),
-    Query("uncontrolled-scanf", "scanf without width", 5.0, q_scanf, ("c",)),
-    Query("shell-injection-sink", "system()/popen()", 8.0, q_system, ("c", "cwe-78")),
+    Query(
+        "call-to-gets", "Dangerous function gets()", 8.0, q_gets, ("c", "cwe-242"),
+        CodeExamples(
+            "int read_line(void) {\n  char buf[32];\n  gets(buf);\n  return buf[0];\n}\n",
+            "int read_line_ok(void) {\n  char buf[32];\n  fgets(buf, 32, stdin);\n  return buf[0];\n}\n",
+        ),
+    ),
+    Query(
+        "unbounded-string-copy", "strcpy/strcat/sprintf", 7.0, q_strcpy, ("c", "cwe-120"),
+        CodeExamples(
+            "void cp(char *dst, char *src) {\n  strcpy(dst, src);\n}\n",
+            "void cp_ok(char *dst, char *src) {\n  strncpy(dst, src, 16);\n}\n",
+        ),
+    ),
+    Query(
+        "uncontrolled-scanf", "scanf without width", 5.0, q_scanf, ("c",),
+        CodeExamples(
+            'int rd(void) {\n  char b[8];\n  scanf("%s", b);\n  return b[0];\n}\n',
+            'int rd_ok(void) {\n  char b[8];\n  fscanf(stdin, "%7s", b);\n  return b[0];\n}\n',
+        ),
+    ),
+    Query(
+        "shell-injection-sink", "system()/popen()", 8.0, q_system, ("c", "cwe-78"),
+        CodeExamples(
+            "int run(char *cmd) {\n  return system(cmd);\n}\n",
+            "int run_ok(char *cmd) {\n  return printf(cmd);\n}\n",
+        ),
+    ),
     Query("format-string", "non-literal format", 6.0, q_format_string, ("c", "cwe-134")),
     Query("malloc-unchecked", "unchecked malloc", 3.0, q_malloc_no_check, ("c",)),
     Query("use-after-free-candidate", "UAF candidate", 9.0, q_free_use, ("c", "cwe-416")),
     Query("large-stack-buffer", "large stack buffer", 4.0, q_large_stack_buffer, ("c",)),
+    Query(
+        "mult-in-alloc", "multiplication in malloc size", 7.0, q_int_mult_alloc,
+        ("c", "cwe-190"),
+        CodeExamples(
+            "char *mk(int n) {\n  char *p = malloc(n * 8);\n  return p;\n}\n",
+            "char *mk_ok(int n) {\n  char *p = malloc(64);\n  return p;\n}\n",
+        ),
+    ),
+    Query(
+        "sql-injection-candidate", "concatenated SQL", 8.0, q_sql_concat,
+        ("java", "cwe-89"),
+        CodeExamples(
+            'public class Dao {\n  public int find(String id) {\n    int r = executeQuery("SELECT * FROM t WHERE id=" + id);\n    return r;\n  }\n}\n',
+            'public class DaoOk {\n  public int find(String id) {\n    int r = executeQuery("SELECT * FROM t WHERE id=?");\n    return r;\n  }\n}\n',
+            "java",
+        ),
+    ),
+    Query(
+        "hardcoded-credential", "credential in source", 7.0, q_hardcoded_credential,
+        ("generic", "cwe-798"),
+        CodeExamples(
+            'int auth(void) {\n  char *password = "hunter2secret";\n  return password[0];\n}\n',
+            "int auth_ok(char *env) {\n  char *password = env;\n  return password[0];\n}\n",
+        ),
+    ),
+    Query(
+        "weak-crypto", "weak hash primitive", 5.0, q_weak_crypto, ("generic", "cwe-327"),
+        CodeExamples(
+            "int h(char *d) {\n  return md5(d);\n}\n",
+            "int h_ok(char *d) {\n  return sha256(d);\n}\n",
+        ),
+    ),
+    Query(
+        "js-eval", "eval of dynamic input", 7.0, q_js_eval, ("javascript", "cwe-95"),
+        CodeExamples(
+            "function go(input) {\n  return eval(input);\n}\n",
+            "function go_ok(input) {\n  return JSON.parse(input);\n}\n",
+            "javascript",
+        ),
+    ),
+    Query(
+        "py-exec", "python dynamic execution", 7.0, q_py_exec, ("python", "cwe-95"),
+        CodeExamples(
+            "def go(payload):\n    return eval(payload)\n",
+            "def go_ok(payload):\n    return len(payload)\n",
+            "python",
+        ),
+    ),
+    Query(
+        "strncpy-sizeof", "strncpy size from sizeof", 4.0, q_strncpy_sizeof, ("c",),
+        CodeExamples(
+            "void cp(char *d, char *s) {\n  strncpy(d, s, sizeof(s));\n}\n",
+            "void cp_ok(char *d, char *s) {\n  strncpy(d, s, 15);\n}\n",
+        ),
+    ),
+    Query(
+        "unchecked-atoi", "unchecked numeric conversion", 3.0, q_atoi_unchecked, ("c",),
+        CodeExamples(
+            "int parse(char *s) {\n  int v = atoi(s);\n  return v;\n}\n",
+            "long parse_ok(char *s) {\n  long v = strtol(s, 0, 10);\n  return v;\n}\n",
+        ),
+    ),
+    Query("empty-catch", "swallowed exception", 3.0, q_empty_catch, ("java",)),
 )
 
 

@@ -125,6 +125,21 @@ def mapside_link_edges(batch: pa.Table) -> pa.Table:
         subj_parts.append(pa.array(a_ids, pa.uint64()))
         obj_parts.append(np.array(a_objs, dtype=np.uint64))
         pred_parts.append(("ALIAS_OF", len(a_ids)))
+    # TYPE -> TYPE_DECL REF (reference `base/TypeRefPass.scala:9-30`):
+    # the TYPE dimension id is a pure content hash of the fqn, so the
+    # edge is computable map-side from the TYPE_DECL row alone
+    td_all = batch.filter(pc.equal(labels, "TYPE_DECL"))
+    if td_all.num_rows:
+        subj_parts.append(
+            pa.array(
+                [type_id(f) for f in td_all.column("full_name").to_pylist()],
+                pa.uint64(),
+            )
+        )
+        obj_parts.append(
+            td_all.column("id").combine_chunks().cast(pa.uint64()).to_numpy(zero_copy_only=False)
+        )
+        pred_parts.append(("REF", td_all.num_rows))
     # SOURCE_FILE
     url = batch.column("url")
     sf_mask = pc.and_(

@@ -82,7 +82,7 @@ def make_union_from_tables(
     if svt is None:
         from ..stages.survey import survey_partial
 
-        svt = survey_partial(nt)
+        svt = survey_partial(nt, et)
     # split nodes into plain vs METHOD/TYPE_DECL (own row_kind)
     mt_mask = pc.is_in(nt.column("label"), value_set=pa.array(list(MT_LABELS)))
     mt = nt.filter(mt_mask)

@@ -25,9 +25,48 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def survey_partial(batch: pa.Table) -> pa.Table:
+def survey_partial(batch: pa.Table, edges: "pa.Table | None" = None) -> pa.Table:
     ks, keys, cs = [], [], []
     labels = batch.column("label")
+    # 'am'/'ax': per-batch min/max ARGUMENT count per CALL fqn — the
+    # MethodStubCreator CallSummary aggregate (reference
+    # `MethodStubCreator.scala:24-70` keeps min/max/num args per distinct
+    # unresolved name); final agg takes min of 'am', max of 'ax'.
+    if edges is not None and edges.num_rows:
+        import pyarrow.compute as _pc
+
+        argvc = (
+            edges.filter(_pc.equal(edges.column("pred"), "ARGUMENT"))
+            .column("subj")
+            .value_counts()
+        )
+        n_by_subj = dict(
+            zip(argvc.field("values").to_pylist(), argvc.field("counts").to_pylist())
+        )
+        call_rows = batch.filter(_pc.equal(labels, "CALL"))
+        mm: dict[str, list[int]] = {}
+        for nid, fqn in zip(
+            call_rows.column("id").to_pylist(),
+            call_rows.column("method_full_name").to_pylist(),
+        ):
+            if not fqn:
+                continue
+            n = int(n_by_subj.get(nid, 0))
+            cur = mm.get(fqn)
+            if cur is None:
+                mm[fqn] = [n, n]
+            else:
+                if n < cur[0]:
+                    cur[0] = n
+                if n > cur[1]:
+                    cur[1] = n
+        for fqn, (lo, hi) in mm.items():
+            ks.append("am")
+            keys.append(fqn)
+            cs.append(lo)
+            ks.append("ax")
+            keys.append(fqn)
+            cs.append(hi)
     for kind, lab in (("m", "METHOD"), ("td", "TYPE_DECL")):
         vc = batch.filter(pc.equal(labels, lab)).column("full_name").value_counts()
         for v, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):

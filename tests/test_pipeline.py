@@ -89,15 +89,9 @@ def test_every_call_linked(ray_session, cpg):
 
 
 def test_manifests_written(cpg):
-    # linked edges: partitioned write with per-partition manifests
-    p = cpg["edges_linked_path"]
-    assert os.path.exists(os.path.join(p, "_manifest.json"))
-    parts = [d for d in os.listdir(p) if d.startswith("part=")]
-    assert parts
-    for d in parts:
-        assert os.path.exists(os.path.join(p, d, "_manifest.json"))
-    # node roots: each checkpoint carries its own completion manifest
-    for root in ("parse", "canonical_mt", "dims"):
+    # every output root carries a completion manifest (streaming
+    # checkpoint writes; resume = skip stages whose manifest matches)
+    for root in ("parse", "canonical_mt", "dims", "edges"):
         assert os.path.exists(
             os.path.join(cpg["out_dir"], root, "_manifest.json")
         ), root
