@@ -491,7 +491,10 @@ def _fragments_ds(sf_dir: str):
 
 def minhash_near_dups_corpus(sf_dir: str) -> pa.Table:
     """MinHash LSH over corpus code fragments (engineered near-dups,
-    FIXTURES.md F9) — returns the duplicate pair list."""
+    FIXTURES.md F9) — returns the TOP near-dup pairs, bounded at 10k:
+    an unbounded pair list is ~18x the corpus at bench scale (round-1
+    verdict); full-corpus dedup belongs in `minhash_dedup_corpus`
+    (cluster mapping, no pair explosion)."""
     from ..stages.dedup import minhash_lsh_pairs
 
     out = minhash_lsh_pairs(
@@ -501,6 +504,17 @@ def minhash_near_dups_corpus(sf_dir: str) -> pa.Table:
     )
     empty = pa.schema([pa.field("id_a", pa.int64()), pa.field("id_b", pa.int64()), pa.field("est_jaccard", pa.float64())])
     t = _collect(out, empty)
+    if t.num_rows > 10_000:
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("est_jaccard", "descending"),
+                    ("id_a", "ascending"),
+                    ("id_b", "ascending"),
+                ],
+            )[:10_000]
+        )
     return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
