@@ -519,11 +519,24 @@ def minhash_near_dups_corpus(sf_dir: str) -> pa.Table:
 
 
 def simhash_near_dups_corpus(sf_dir: str) -> pa.Table:
+    """SimHash near-dup pairs, bounded at the top 10k (closest hamming
+    first) — same no-pair-explosion policy as the minhash demo."""
     from ..stages.dedup import simhash_near_dup_pairs
 
     out = simhash_near_dup_pairs(_fragments_ds(sf_dir), max_hamming=3)
     empty = pa.schema([pa.field("id_a", pa.int64()), pa.field("id_b", pa.int64()), pa.field("hamming", pa.int64())])
     t = _collect(out, empty)
+    if t.num_rows > 10_000:
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("hamming", "ascending"),
+                    ("id_a", "ascending"),
+                    ("id_b", "ascending"),
+                ],
+            )[:10_000]
+        )
     return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 

@@ -230,7 +230,7 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=128, bands=
             text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()  # groupby sampling must not re-run the MinHasher stage
 
     def pairs_in_bucket(batch: pa.Table) -> pa.Table:
         """Vectorized all-pairs signature agreement, capped per bucket.
@@ -263,8 +263,8 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=128, bands=
             order = order[:: max(1, n // max_bucket)][:max_bucket]
         ids_s = ids[order]
         sig_m = np.asarray(
-            [batch.column("sig")[int(i)].as_py() for i in order], dtype=np.uint64
-        )  # (m, K)
+            batch.take(pa.array(order)).column("sig").to_pylist(), dtype=np.uint64
+        )  # (m, K) — single vectorized list-column conversion
         band = batch.column("band")[0].as_py()
         # est jaccard matrix in one broadcast: (m, m)
         est = (sig_m[:, None, :] == sig_m[None, :, :]).mean(axis=2)
@@ -283,14 +283,17 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=128, bands=
 
     pairs = band_rows.groupby(["band", "bucket"]).map_groups(
         pairs_in_bucket, batch_format="pyarrow"
+    ).materialize()  # the distinct's sampling must not re-mine pairs
+
+    # a pair can surface in several bands; est_jaccard is computed from
+    # the FULL signatures so it is identical in every band — dedup is a
+    # plain distinct on (id_a, id_b, est_jaccard) via the BUILT-IN
+    # vectorized count aggregation (a per-group map_groups UDF here was
+    # the measured bottleneck: ~1 python call per pair)
+    uniq = pairs.groupby(["id_a", "id_b", "est_jaccard"]).count()
+    return uniq.map_batches(
+        lambda b: b.select(["id_a", "id_b", "est_jaccard"]), batch_format="pyarrow"
     )
-
-    # a pair can surface in several bands — keep the first (min band)
-    def first_band(batch: pa.Table) -> pa.Table:
-        i = pc.index(batch.column("band"), pc.min(batch.column("band")).as_py()).as_py()
-        return batch.take([i]).select(["id_a", "id_b", "est_jaccard"])
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first_band, batch_format="pyarrow")
 
 
 def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perm=128, bands=16, concurrency=None):
