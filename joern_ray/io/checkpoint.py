@@ -19,7 +19,7 @@ import json
 import os
 import time
 
-ENGINE_VERSION = "0.2.0"  # bumped: survey gained 'rt' kind + true 'ca' counts
+ENGINE_VERSION = "0.3.0"  # bumped: survey schema (sn/sx, folded ty), distributed survey_agg + dims
 
 
 def _footer_row_count(path: str) -> tuple[int, list[str]]:

@@ -502,7 +502,7 @@ class PyFragmentParser:
                                  code=self._code(e), dispatch_type=STATIC_DISPATCH)
                 c.add(left, rhs)
                 c.argument_children.extend([left, rhs])
-                left = rhs if cur is None else left
+                left = rhs  # chained comparison: each op compares against the previous comparator
                 if cur is None:
                     cur = c
                 else:

@@ -55,7 +55,7 @@ _KEEP = {
     "mtnode": list(NODES_SCHEMA.names),
     "edge": list(EDGES_SCHEMA.names),
     "reject": list(REJECTS_SCHEMA.names),
-    "survey": ["skind", "skey", "sc"],
+    "survey": ["skind", "skey", "sc", "sn", "sx"],
 }
 
 
@@ -264,7 +264,21 @@ def build_cpg(
     # dims is the LAST artifact written, so (dims + edges) matching means
     # the whole chain (canonical included) completed for this fingerprint
     if manifest_matches(dims_path, parse_fp) and manifest_matches(edges_path, parse_fp):
+        # same contract as a fresh run: the fresh path persists its stats
+        # to build_stats.json, so resumed callers see identical keys
+        stats: dict = {}
+        try:
+            stats = _json.load(open(os.path.join(out_dir, "build_stats.json")))
+        except (OSError, _json.JSONDecodeError):
+            pass
         return {
+            "equivalences_path": stats.get("equivalences_path"),
+            "n_collapsed_methods": stats.get("n_collapsed_methods", 0),
+            "link_regime": stats.get("link_regime"),
+            "n_methods": stats.get("n_methods", 0),
+            "n_stubs": stats.get("n_stubs", 0),
+            "n_hot_keys": stats.get("n_hot_keys", 0),
+            "n_dyn_fqns": stats.get("n_dyn_fqns", 0),
             "out_dir": out_dir,
             "nodes_path": nodes_paths(out_dir),
             "edges_path": edges_paths(out_dir),
@@ -289,39 +303,72 @@ def build_cpg(
     )
     mt_ds = lambda: read_union_split(parse_path, "mtnode")  # noqa: E731
 
-    # ---- stage: survey (read the parse-emitted partials — tiny files) -
-    import polars as pl
+    # ---- stage: survey aggregation (distributed groupby, checkpointed) --
+    # Replaces the driver-side polars pass over ALL partials (O(distinct
+    # FQNs × batches) transfer + ~10s fixed driver time at 600k docs):
+    # ONE Ray groupby aggregates the partials cluster-side into the
+    # `survey_agg` checkpoint (hive-partitioned by skind), and the driver
+    # reads back only tiny filtered projections — dup FQNs (≥2), hot keys
+    # (≥ threshold) and footer row counts.  The full key sets never touch
+    # the driver except in the gated broadcast control plane below.
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Max as _AMax
+    from ray.data.aggregate import Min as _AMin
+    from ray.data.aggregate import Sum as _ASum
 
-    sv: dict = {"m": {}, "td": {}, "ty": {}, "ns": {}, "ca": {}, "rt": {}, "am": {}, "ax": {}}
-    sv_parts = list(
-        read_union_split(parse_path, "survey").iter_batches(batch_format="pyarrow")
-    )
-    if sv_parts:
-        svdf = (
-            pl.from_arrow(pa.concat_tables(sv_parts))
-            .group_by(["skind", "skey"])
-            .agg(
-                pl.col("sc").sum().alias("s_sum"),
-                pl.col("sc").min().alias("s_min"),
-                pl.col("sc").max().alias("s_max"),
-            )
+    svagg_path = os.path.join(out_dir, "survey_agg")
+
+    def svagg_factory():
+        agg = (
+            read_union_split(parse_path, "survey")
+            .groupby(["skind", "skey"])
+            .aggregate(_ASum("sc"), _AMin("sn"), _AMax("sx"))
         )
-        # 'am' aggregates by min, 'ax' by max (CallSummary arg stats);
-        # every other kind sums its partial counts
-        _agg_col = {"am": "s_min", "ax": "s_max"}
-        for k in sv:
-            sub = svdf.filter(pl.col("skind") == k)
-            sv[k] = dict(zip(sub["skey"].to_list(), sub[_agg_col.get(k, "s_sum")].to_list()))
-    _mark("survey")
-    dup_fqns = frozenset(
-        k for d in (sv["m"], sv["td"]) for k, c in d.items() if c >= 2
+
+        def _rn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "skind": b.column("skind").cast(pa.string()),
+                    "skey": b.column("skey").cast(pa.string()),
+                    "s_sum": b.column("sum(sc)").cast(pa.int64()),
+                    "s_min": b.column("min(sn)").cast(pa.int64()),
+                    "s_max": b.column("max(sx)").cast(pa.int64()),
+                }
+            )
+
+        return agg.map_batches(_rn, batch_format="pyarrow")
+
+    checkpoint(
+        svagg_factory, svagg_path, "survey_agg", parse_fp, partition_cols=["skind"]
     )
-    n_methods = len(sv["m"])
-    n_mt = n_methods + len(sv["td"])
+
+    def _sv_dir(kind: str) -> "str | None":
+        p = os.path.join(svagg_path, f"skind={kind}")
+        return p if os.path.isdir(p) else None
+
+    def _sv_keys(kind: str, flt=None) -> list[str]:
+        p = _sv_dir(kind)
+        if p is None:
+            return []
+        t = pads.dataset(p, format="parquet").to_table(columns=["skey"], filter=flt)
+        return t.column("skey").to_pylist()
+
+    def _sv_count(kind: str) -> int:
+        p = _sv_dir(kind)
+        if p is None:
+            return 0
+        return pads.dataset(p, format="parquet").count_rows()
+
+    dup_fqns = frozenset(
+        _sv_keys("m", pads.field("s_sum") >= 2)
+        + _sv_keys("td", pads.field("s_sum") >= 2)
+    )
+    n_methods = _sv_count("m")
+    n_mt = n_methods + _sv_count("td")
+    n_calls = _sv_count("ca")
     use_broadcast = (not force_shuffle_link) and n_methods <= broadcast_limit
-    known = frozenset(sv["m"].keys())
-    extra_types = set(sv["rt"].keys())
-    hot_keys = {k for k, c in sv["ca"].items() if c >= hot_key_threshold}
+    hot_keys = set(_sv_keys("ca", pads.field("s_sum") >= hot_key_threshold))
+    _mark("survey")
 
     # ---- stage: canonicalize (both regimes, fully distributed) --------
     # FullNameUniquenessPass analog: shuffle ONLY rows whose full_name
@@ -361,8 +408,6 @@ def build_cpg(
     # dynamic dispatch) is read driver-side straight off the canonical
     # checkpoint's Parquet footers+columns — tiny (only declarations
     # participating in inheritance), no Ray execution.
-    import pyarrow.dataset as pads
-
     link_regime = "broadcast" if use_broadcast else "salted_shuffle"
     if n_mt:
         td_proj = (
@@ -385,7 +430,21 @@ def build_cpg(
         )
     from ..stages.link import build_dyn_candidates
 
-    dyn_fqn = build_dyn_candidates(td_proj, sv["ca"].keys(), known)
+    # Control plane (SAFEDISPATCH candidates + NaiveCallLinker): the
+    # candidate maps are built from the aggregated-survey key sets —
+    # O(distinct method+call FQNs) driver memory, so they are GATED.
+    # Above the gate the maps stay empty: dynamic calls then resolve
+    # statically or to stubs (the conservative degradation; the
+    # distributed alternative is the iterative INHERITS_FROM self-join,
+    # SURVEY.md §2.4 row 3).
+    dyn_driver_gate = int(os.environ.get("JOERN_RAY_DYN_GATE", 20_000_000))
+    if n_methods + n_calls <= dyn_driver_gate:
+        known = frozenset(_sv_keys("m"))
+        ca_fqns = _sv_keys("ca")
+    else:
+        known = frozenset()
+        ca_fqns = []
+    dyn_fqn = build_dyn_candidates(td_proj, ca_fqns, known)
     # NaiveCallLinker fallback (reference `NaiveCallLinker.scala:12-29`):
     # a dotted call fqn that neither resolves by full name nor by
     # dynamic dispatch links to the UNIQUE known method sharing its
@@ -394,7 +453,7 @@ def build_cpg(
     name_to_fqns: dict[str, list[str]] = {}
     for f in known:
         name_to_fqns.setdefault(f.rsplit(".", 1)[-1], []).append(f)
-    for fqn in sv["ca"].keys():
+    for fqn in ca_fqns:
         if (
             fqn in known
             or fqn in dyn_fqn
@@ -406,6 +465,7 @@ def build_cpg(
         if cands and len(cands) == 1:
             dyn_fqn[fqn] = [cands[0]]
     dyn_ref = ray.put(dyn_fqn)
+    _mark("control_plane")
     if use_broadcast:
         # broadcast regime: collect ONLY the 3-column method index
         # projection (not full rows), ship it ONCE via ray.put — workers
@@ -456,88 +516,131 @@ def build_cpg(
             dyn_fqn_ref=dyn_ref,
         )
 
-    # dimensions + stubs — derived from the survey, zero extra passes.
-    # Stubs exclude dyn/naive-resolved fqns (those always link to a real
-    # method); TYPE dims include TYPE_DECL fqns so the map-side
-    # TypeRefPass REF edges always have their TYPE endpoint.
-    stub_fqns = sorted(set(sv["ca"].keys()) - known - set(dyn_fqn.keys()))
-    dim_rows: list[dict] = [
-        {
-            "id": hash64("META_DATA", fingerprint),
-            "label": "META_DATA",
-            "name": "joern_ray",
-            "full_name": fingerprint,
-            "signature": _ENGINE_VERSION,
-            # overlays present in this build (reference
-            # `MetaDataPass.scala:15-39` records language + overlays)
-            "code": "base;cfg;dominators;cdg;reachingdef;contains;linking;typerel;dedup",
-            "lang": "c;cpp;java;javascript;python",
-            "order": 0,
-            "argument_index": -1,
-            "line": -1,
-            "col": -1,
-        }
-    ] + [
-        {
-            "id": type_id(f),
-            "label": "TYPE",
-            "name": f,
-            "full_name": f,
-            "order": 0,
-            "argument_index": -1,
-            "line": -1,
-            "col": -1,
-        }
-        for f in sorted(set(sv["ty"].keys()) | extra_types | set(sv["td"].keys()))
-    ] + [
-        {
-            "id": namespace_id(n),
-            "label": "NAMESPACE",
-            "name": n,
-            "full_name": n,
-            "order": 0,
-            "argument_index": -1,
-            "line": -1,
-            "col": -1,
-        }
-        for n in sorted(sv["ns"].keys())
-    ] + [
-        {
-            "id": stub_id(f),
-            "label": "METHOD",
-            "name": f.rsplit(".", 1)[-1] if not f.startswith("<operator>") else f,
-            "full_name": f,
-            # CallSummary aggregate (reference MethodStubCreator keeps
-            # min/max arg counts per distinct unresolved name): the stub
-            # signature carries max-arity ANY parameters
-            "signature": "ANY(" + ",".join(["ANY"] * int(sv["ax"].get(f, 0))) + ")",
-            "code": "<empty>",
-            "order": 0,
-            "argument_index": -1,
-            "line": -1,
-            "col": -1,
-            "lang": "",
-        }
-        for f in stub_fqns
-    ]
-    # ---- stage: write -------------------------------------------------
-    # The final NODES table is never rewritten: the parse checkpoint
-    # (plain nodes), canonical_mt checkpoint and the tiny dims file
-    # below ARE the output roots (`nodes_paths`) — re-shuffling 10^8+
-    # already-deterministic node rows into a second copy was the
-    # measured superlinear cost at 600k docs and is pure waste at
-    # 100 TB.  Only the small dims table and the linker-derived edges
-    # get written here.
+    # ---- dimensions + stubs: DISTRIBUTED synthesis over the aggregated
+    # survey (round-2 verdict #1b: the O(distinct FQNs) dim/stub row
+    # construction was the driver's largest remaining serial term).
+    # TYPE rows come straight from skind=ty (already distinct post-agg),
+    # NAMESPACE from skind=ns; stubs are an anti-join of skind=ca against
+    # skind=m via ONE pivot groupby — no key set is ever collected.
+    # Runs in a thread overlapped with the edge write + equivalences.
     import pyarrow.parquet as pq
 
     from ..io.checkpoint import write_manifest
+    from ..stages.link import dim_nodes_batch, stub_nodes_batch
 
-    dims_t = rows_to_table(dim_rows, NODES_SCHEMA)
-    os.makedirs(dims_path, exist_ok=True)
-    _dims_file = os.path.join(dims_path, "dims.parquet")
-    pq.write_table(dims_t, _dims_file + ".tmp")
-    os.replace(_dims_file + ".tmp", _dims_file)
-    # manifest written AFTER the edges write below (dims manifest is the
+    dyn_keys_ref = ray.put(pa.array(sorted(dyn_fqn.keys()), pa.string()))
+
+    def _build_dims():
+        import ray.data as _rd
+
+        meta_t = rows_to_table(
+            [
+                {
+                    "id": hash64("META_DATA", fingerprint),
+                    "label": "META_DATA",
+                    "name": "joern_ray",
+                    "full_name": fingerprint,
+                    "signature": _ENGINE_VERSION,
+                    # overlays present in this build (reference
+                    # `MetaDataPass.scala:15-39` records language+overlays)
+                    "code": "base;cfg;dominators;cdg;reachingdef;contains;linking;typerel;dedup",
+                    "lang": "c;cpp;java;javascript;python",
+                    "order": 0,
+                    "argument_index": -1,
+                    "line": -1,
+                    "col": -1,
+                }
+            ],
+            NODES_SCHEMA,
+        )
+        parts = [_rd.from_arrow(meta_t)]
+        ty_p, ns_p = _sv_dir("ty"), _sv_dir("ns")
+        if ty_p:
+            parts.append(
+                _rd.read_parquet(ty_p, columns=["skey"]).map_batches(
+                    lambda b: dim_nodes_batch(
+                        [k for k in b.column("skey").to_pylist() if k], "TYPE", type_id
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+        if ns_p:
+            parts.append(
+                _rd.read_parquet(ns_p, columns=["skey"]).map_batches(
+                    lambda b: dim_nodes_batch(
+                        [k for k in b.column("skey").to_pylist() if k],
+                        "NAMESPACE",
+                        namespace_id,
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+        ca_p, m_p = _sv_dir("ca"), _sv_dir("m")
+        if ca_p:
+            def _tag_ca(b: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "skey": b.column("skey").cast(pa.string()),
+                        "ca_c": b.column("s_sum").cast(pa.int64()),
+                        "m_c": pa.array([0] * b.num_rows, pa.int64()),
+                        "ax": b.column("s_max").cast(pa.int64()),
+                    }
+                )
+
+            def _tag_m(b: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "skey": b.column("skey").cast(pa.string()),
+                        "ca_c": pa.array([0] * b.num_rows, pa.int64()),
+                        "m_c": b.column("s_sum").cast(pa.int64()),
+                        "ax": pa.array([0] * b.num_rows, pa.int64()),
+                    }
+                )
+
+            src_ds = _rd.read_parquet(ca_p, columns=["skey", "s_sum", "s_max"]).map_batches(
+                _tag_ca, batch_format="pyarrow"
+            )
+            if m_p:
+                src_ds = src_ds.union(
+                    _rd.read_parquet(m_p, columns=["skey", "s_sum"]).map_batches(
+                        _tag_m, batch_format="pyarrow"
+                    )
+                )
+            piv = src_ds.groupby("skey").aggregate(_ASum("ca_c"), _ASum("m_c"), _AMax("ax"))
+
+            def _stub_rows(b: pa.Table) -> pa.Table:
+                import ray as _ray
+
+                dk = _KEYSET_CACHE.get(dyn_keys_ref.hex())
+                if dk is None:
+                    dk = _ray.get(dyn_keys_ref)
+                    _KEYSET_CACHE[dyn_keys_ref.hex()] = dk
+                keep = pc.and_(
+                    pc.greater(b.column("sum(ca_c)"), 0),
+                    pc.equal(b.column("sum(m_c)"), 0),
+                )
+                if len(dk):
+                    keep = pc.and_(
+                        keep,
+                        pc.invert(pc.is_in(b.column("skey").cast(pa.string()), value_set=dk)),
+                    )
+                s = b.filter(keep)
+                fqns = [k for k in s.column("skey").to_pylist() if k]
+                ax = dict(
+                    zip(s.column("skey").to_pylist(), s.column("max(ax)").to_pylist())
+                )
+                return stub_nodes_batch(fqns, ax)
+
+            parts.append(piv.map_batches(_stub_rows, batch_format="pyarrow"))
+        dims_ds = parts[0]
+        for p in parts[1:]:
+            dims_ds = dims_ds.union(p)
+        import shutil as _shutil
+
+        if os.path.isdir(dims_path):
+            _shutil.rmtree(dims_path)
+        dims_ds.write_parquet(dims_path)
+    # dims manifest written AFTER the writes below complete (it is the
     # completion marker for the whole chain)
 
     def all_nodes():
@@ -600,6 +703,13 @@ def build_cpg(
         except BaseException as e:  # noqa: BLE001
             errs.append(e)
 
+    # dims runs SEQUENTIALLY before the two overlapped writes: a third
+    # concurrent streaming executor livelocks at low CPU counts (all
+    # three block in get_output_blocking while the raylet thrashes
+    # workers — observed at 4 CPUs); the dims execution is small (one
+    # groupby over distinct FQNs), so serializing costs little.
+    _build_dims()
+    _mark("dims")
     t2 = threading.Thread(target=_w, args=(final_edges, edges_path, "edges"))
     t2.start()
 
@@ -679,6 +789,27 @@ def build_cpg(
     _mark("writes")
     if errs:
         raise errs[0]
+    # stub count for stats/metrics: footer-filtered count off the dims
+    # parquet (label is a dictionary-encodable column; no key set needed)
+    try:
+        n_stubs = (
+            pads.dataset(dims_path, format="parquet")
+            .count_rows(filter=pads.field("label") == "METHOD")
+        )
+    except Exception:  # noqa: BLE001
+        n_stubs = 0
+    # persist the stats a resumed run must reproduce (same return contract)
+    _stats = {
+        "equivalences_path": equiv_path if eq_box[0] is not None else None,
+        "n_collapsed_methods": eq_box[0] or 0,
+        "link_regime": link_regime,
+        "n_methods": n_methods,
+        "n_stubs": n_stubs,
+        "n_hot_keys": len(hot_keys),
+        "n_dyn_fqns": len(dyn_fqn),
+    }
+    with open(os.path.join(out_dir, "build_stats.json"), "w") as f:
+        _json.dump(_stats, f, indent=1)
     # dims manifest last: its presence marks the whole chain complete
     write_manifest(dims_path, "dims", parse_fp, 0.0)
     return {
@@ -692,7 +823,7 @@ def build_cpg(
         "parse_path": parse_path,
         "link_regime": link_regime,
         "n_methods": n_methods,
-        "n_stubs": len(stub_fqns),
+        "n_stubs": n_stubs,
         "n_hot_keys": len(hot_keys),
         "n_dyn_fqns": len(dyn_fqn),
         "resumed": False,

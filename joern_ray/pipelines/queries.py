@@ -19,6 +19,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.hashing import hash64
+
 
 def _collect(ds, schema: "pa.Schema | None" = None) -> pa.Table:
     """Materialize a (small) result Dataset; empty-safe."""
@@ -915,11 +917,12 @@ def events_user_daily_distinct(sf_dir: str) -> pa.Table:
 
     pairs = ds.map_batches(partial, batch_format="pyarrow")
 
-    def first_only(batch: pa.Table) -> pa.Table:
-        return batch.slice(0, 1)
-
-    uniq = pairs.groupby(["day", "user_id"]).map_groups(first_only, batch_format="pyarrow")
-    out = uniq.groupby("day").count().sort("day")
+    # built-in count() collapses each (day, user) group to one row —
+    # vectorized, no per-group Python UDF
+    uniq = pairs.groupby(["day", "user_id"]).count()
+    out = uniq.map_batches(
+        lambda b: b.select(["day"]), batch_format="pyarrow"
+    ).groupby("day").count().sort("day")
     return _collect(out).rename_columns(["day", "n_users"])
 
 
@@ -1041,10 +1044,13 @@ def scan_conformance(sf_dir: str) -> pa.Table:
         }
     )
     out = "/tmp/joern_ray_cache/scanconf"
+    # fingerprint derived from the rendered examples: editing/adding a
+    # CodeExamples invalidates the cached conformance CPG automatically
+    ex_fp = hash64("\x1e".join(u + "\x1f" + h.decode() for u, h in zip(urls, htmls)))
     res = build_cpg(
         lambda columns: ray.data.from_arrow(t),
         out,
-        "scanconf-examples-v1",
+        f"scanconf-examples-{ex_fp:x}",
         num_partitions=2,
     )
     cpg = Cpg(res["nodes_path"], res["edges_path"])

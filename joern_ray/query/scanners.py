@@ -210,19 +210,26 @@ def q_empty_catch(cpg: Cpg) -> pa.Table:
     block_ids = set(
         blocks.filter(pc.equal(blocks.column("label"), "BLOCK")).column("id").to_pylist()
     )
-    grandkids = kids.ast_children().l(["id"])
     nonempty_parents: set[int] = set()
-    if grandkids.num_rows:
-        # a block with any child is non-empty; find parents via edges
-        par = kids.l(["id"])  # noqa: F841 — parents resolved below
-        edges = pa.concat_tables(
-            list(cpg.edges_ds().iter_batches(batch_format="pyarrow"))
-        )
-        ast = edges.filter(pc.equal(edges.column("pred"), "AST"))
-        gk = set(grandkids.column("id").to_pylist())
-        for s, o in zip(ast.column("subj").to_pylist(), ast.column("obj").to_pylist()):
-            if o in gk and s in block_ids:
-                nonempty_parents.add(s)
+    if block_ids:
+        # a block with ANY outgoing AST edge is non-empty — one streamed
+        # is_in-filtered scan of the edges table (no driver materialize;
+        # the probe set is O(catch blocks), not O(edges))
+        probe = pa.array(sorted(block_ids), pa.uint64())
+
+        def _nonempty(batch: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.equal(batch.column("pred"), "AST"),
+                pc.is_in(batch.column("subj"), value_set=probe),
+            )
+            return pa.table({"subj": pc.unique(batch.filter(m).column("subj"))})
+
+        for b in (
+            cpg.edges_ds()
+            .map_batches(_nonempty, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            nonempty_parents.update(b.column("subj").to_pylist())
     empty_blocks = block_ids - nonempty_parents
     t = blocks.filter(
         pc.is_in(blocks.column("id"), value_set=pa.array(list(empty_blocks) or [0], pa.uint64()))

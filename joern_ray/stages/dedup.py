@@ -21,6 +21,7 @@ Scale shapes:
 
 from __future__ import annotations
 
+from ..functions.hashing import hash64
 from ..util import resolve_pool
 
 import numpy as np
@@ -49,26 +50,30 @@ def add_content_hash(batch: pa.Table, col: str, out_col: str = "content_hash64")
 
 def exact_dedup(ds, col: str, id_col: str):
     """Hash-partition + per-group first (deterministic min id): returns
-    Dataset of (id_col winner, n_dups) per distinct value of `col`."""
+    Dataset of (id_col winner, n_dups) per distinct value of `col`.
+    Built-in Min/Count aggregation — no per-group Python UDF (one Python
+    call per distinct value was a measured bottleneck shape)."""
+    from ray.data.aggregate import Count, Min
 
     def h(batch: pa.Table) -> pa.Table:
         b = add_content_hash(batch, col)
         return b.select([id_col, "content_hash64"])
 
-    def first_wins(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col)
+    agg = (
+        ds.map_batches(h, batch_format="pyarrow")
+        .groupby("content_hash64")
+        .aggregate(Min(id_col), Count())
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                id_col: pa.array([pc.min(ids).as_py()], ids.type),
-                "n_dups": pa.array([batch.num_rows], pa.int64()),
+                id_col: batch.column(f"min({id_col})"),
+                "n_dups": batch.column("count()").cast(pa.int64()),
             }
         )
 
-    return (
-        ds.map_batches(h, batch_format="pyarrow")
-        .groupby("content_hash64")
-        .map_groups(first_wins, batch_format="pyarrow")
-    )
+    return agg.map_batches(rename, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -105,7 +110,9 @@ class MinHasher:
         bands: int = 16,
         shingle_k: int = 5,
         seed: int = 7,
+        emit_sig: bool = True,
     ) -> None:
+        self.emit_sig = emit_sig
         rng = np.random.RandomState(seed)
         self.a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
         self.b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
@@ -135,7 +142,10 @@ class MinHasher:
         process (tasks reuse workers)."""
         if not texts:
             return np.zeros((0, self.num_perm), np.uint64)
-        keys = [hash(t or "") for t in texts]
+        # keyed on the content hash used project-wide for content equality
+        # (python's builtin hash() is salted per-process AND collisions
+        # would silently alias one text's signature to another's)
+        keys = [hash64(t or "") for t in texts]
         cache = self._sig_cache
         miss: dict[int, str] = {}
         for k, t in zip(keys, texts):
@@ -159,19 +169,21 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """flat-map: one row per (doc, band) with the band bucket hash and
-        the full signature (carried for verification downstream)."""
+        (when `emit_sig`) the full signature for downstream verification.
+        The dedup-collapse path sets emit_sig=False: replicating the
+        64xu64 signature list per band was bands× avoidable payload."""
         texts = batch.column(self.text_col).to_pylist()
         ids = np.asarray(batch.column(self.id_col).to_pylist())
         n = len(texts)
         if n == 0:
-            return pa.table(
-                {
-                    self.id_col: pa.array([], pa.int64()),
-                    "band": pa.array([], pa.int32()),
-                    "bucket": pa.array([], pa.uint64()),
-                    "sig": pa.array([], pa.list_(pa.uint64())),
-                }
-            )
+            cols = {
+                self.id_col: pa.array([], pa.int64()),
+                "band": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.uint64()),
+            }
+            if self.emit_sig:
+                cols["sig"] = pa.array([], pa.list_(pa.uint64()))
+            return pa.table(cols)
         sigs = self.signatures_batch(texts)  # (n, num_perm)
         r = self.rows_per_band
         with np.errstate(over="ignore"):
@@ -184,16 +196,18 @@ class MinHasher:
             bucket &= np.uint64((1 << 63) - 1)
         out_id = np.repeat(ids, self.bands)
         out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
-        sig_lists = sigs.tolist()
-        out_sig = [sig_lists[i] for i in range(n) for _ in range(self.bands)]
-        return pa.table(
-            {
-                self.id_col: pa.array(out_id),
-                "band": pa.array(out_band, pa.int32()),
-                "bucket": pa.array(bucket.reshape(-1), pa.uint64()),
-                "sig": pa.array(out_sig, pa.list_(pa.uint64())),
-            }
-        )
+        cols = {
+            self.id_col: pa.array(out_id),
+            "band": pa.array(out_band, pa.int32()),
+            "bucket": pa.array(bucket.reshape(-1), pa.uint64()),
+        }
+        if self.emit_sig:
+            sig_lists = sigs.tolist()
+            cols["sig"] = pa.array(
+                [sig_lists[i] for i in range(n) for _ in range(self.bands)],
+                pa.list_(pa.uint64()),
+            )
+        return pa.table(cols)
 
 
 # Per-worker MinHasher memo: its state is DETERMINISTIC (seeded
@@ -296,33 +310,52 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=128, bands=
     )
 
 
-def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perm=128, bands=16, concurrency=None):
+def minhash_dedup(
+    ds,
+    text_col="text",
+    id_col="doc_id",
+    num_perm=128,
+    bands=16,
+    concurrency=None,
+    driver_gate=2_000_000,
+    num_partitions=32,
+):
     """Scalable near-dup COLLAPSE: (id -> canonical_id) cluster mapping.
 
     TWO-LEVEL (exact -> near), the shape that survives dup-heavy web
     corpora:
 
     1. exact content collapse — group on hash64(text), representative =
-       min id.  Shuffles TWO integer columns, never the text; identical
+       min id, via the BUILT-IN Min/Count aggregation (no per-group
+       Python).  Shuffles TWO integer columns, never the text; identical
        texts are Jaccard-1 near-dups, so this changes no cluster.
        (63-bit hash equality treated as content equality — same caveat
        as `exact_dedup`.)
-    2. banded MinHash over the DISTINCT texts only (reps), per (band,
-       bucket) emit (member, min) — O(group), no pair explosion — then a
-       second groupby takes the global min across bands.  Web corpora
-       are >90% duplicate content, so the band shuffle shrinks 10-20x.
-    3. members map through their rep's canonical via a broadcast of the
-       (small) collapsed-rep mapping.
+    2. banded MinHash over the DISTINCT texts only (reps): per (band,
+       bucket) min via built-in agg, members pick up their bucket min
+       via a hash JOIN on (band, bucket), then a built-in per-id min
+       across bands.  Web corpora are >90% duplicate content, so the
+       band shuffle shrinks 10-20x.
+    3. members map through their rep's canonical (path-compressed).
+
+    TWO REGIMES gated on input size (`driver_gate` rows):
+    - under the gate: the (chash -> rep) map for DUPLICATED contents
+      only is broadcast (ray.put + per-worker memo) — O(duplicated
+      distinct contents) driver memory, zero joins; and the collapse
+      map (O(collapsed reps)) is path-compressed on the driver.
+    - over the gate: every step is a distributed hash JOIN
+      (`Dataset.join`) — rep assignment, rep-text pull, bucket-min
+      pickup, and a fixed-round (3 => chains ≤ 2^3) iterative self-join
+      path compression.  NOTHING of O(corpus) ever reaches the driver.
 
     `ds` is consumed twice (projection + rep-text pull) — pass a
     checkpoint/Parquet-backed Dataset so re-execution is a re-read.
     One union-find hop; documents transitively linked only through
     longer chains keep separate canonicals (bounded-round choice, same
     spirit as the reference's fixed-iteration type recovery,
-    `XTypeRecovery.scala:143-145`).  The broadcast in step 3 bounds this
-    regime at O(distinct near-dup reps) driver memory; past that, swap
-    step 3 for a shuffle join on `rep`."""
+    `XTypeRecovery.scala:143-145`)."""
     import ray
+    from ray.data.aggregate import Count, Min
 
     from ..functions.hashing import hash64
 
@@ -335,132 +368,326 @@ def minhash_dedup(ds, text_col="text", id_col="doc_id", num_perm=128, bands=16, 
         )
 
     m1 = ds.map_batches(chash_proj, batch_format="pyarrow").materialize()
+    n_rows = m1.count()
+    if n_rows == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {id_col: pa.array([], pa.int64()), "canonical_id": pa.array([], pa.int64())}
+            )
+        )
+    use_broadcast = n_rows <= driver_gate
+    # (chash, min(id), count) — built-in vectorized aggregation
+    agg1 = m1.groupby("chash").aggregate(Min(id_col), Count()).materialize()
+    min_col = f"min({id_col})"
 
-    def exact_group(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col)
-        lo = pc.min(ids).as_py()
-        return pa.table(
-            {id_col: ids, "rep": pa.array([lo] * batch.num_rows, ids.type)}
+    def _minhash(rep_rows):
+        """Distinct-text rows -> (rep id, band, bucket) rows."""
+        return (
+            rep_rows.map_batches(
+                minhasher_fn(
+                    text_col=text_col,
+                    id_col=id_col,
+                    num_perm=num_perm,
+                    bands=bands,
+                    emit_sig=False,
+                ),
+                batch_format="pyarrow",
+            )
+            # groupby/join sampling must not re-run the MinHasher stage
+            .materialize()
         )
 
-    m1_map = (
-        m1.groupby("chash")
-        .map_groups(exact_group, batch_format="pyarrow")
-        .map_batches(lambda b: b.select([id_col, "rep"]), batch_format="pyarrow")
+    if use_broadcast:
+        # ---- broadcast regime --------------------------------------------
+        # driver state: (chash -> rep) for DUPLICATED contents only —
+        # unique contents are their own rep, no entry needed
+        dup_ch: list[int] = []
+        dup_rep: list[int] = []
+        for b in agg1.iter_batches(batch_format="pyarrow"):
+            dup = b.filter(pc.greater(b.column("count()"), 1))
+            dup_ch.extend(dup.column("chash").to_pylist())
+            dup_rep.extend(dup.column(min_col).to_pylist())
+        sk_ = np.array(dup_ch, dtype=np.uint64)
+        sv_ = np.array(dup_rep, dtype=np.int64)
+        _ord = np.argsort(sk_)
+        dup_ref = ray.put((sk_[_ord], sv_[_ord]))
+        dup_key = dup_ref.hex()
+
+        def _dup_arrays():
+            got = _MINHASHER_MEMO.get(dup_key)
+            if got is None:
+                got = ray.get(dup_ref)
+                _MINHASHER_MEMO[dup_key] = got
+            return got
+
+        def assign_rep(batch: pa.Table) -> pa.Table:
+            """(id, chash) -> (id, rep): rep = dup map hit else self."""
+            sk, sv = _dup_arrays()
+            ids = batch.column(id_col).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            ch = batch.column("chash").combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+            if len(sk):
+                pos = np.minimum(np.searchsorted(sk, ch), len(sk) - 1)
+                hit = sk[pos] == ch
+                rep = np.where(hit, sv[pos], ids)
+            else:
+                rep = ids
+            return pa.table(
+                {id_col: batch.column(id_col), "rep": pa.array(rep, pa.int64())}
+            )
+
+        m1_map = m1.map_batches(assign_rep, batch_format="pyarrow").materialize()
+
+        def rep_filter(batch: pa.Table) -> pa.Table:
+            """Keep exactly one row per distinct content: dup-map miss
+            (unique content) or the min-id member of a dup group."""
+            sk, sv = _dup_arrays()
+            texts = batch.column(text_col).to_pylist()
+            ch = np.array([hash64(t or "") for t in texts], dtype=np.uint64)
+            ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+            if len(sk):
+                pos = np.minimum(np.searchsorted(sk, ch), len(sk) - 1)
+                hit = sk[pos] == ch
+                keep = ~hit | (sv[pos] == ids)
+            else:
+                keep = np.ones(len(ids), dtype=bool)
+            return batch.filter(pa.array(keep))
+
+        band_rows = _minhash(ds.map_batches(rep_filter, batch_format="pyarrow"))
+    else:
+        # ---- shuffle-join regime -----------------------------------------
+        def _rename_rep(batch: pa.Table) -> pa.Table:
+            # cast chash back to uint64 (groupby promotes key dtypes)
+            return pa.table(
+                {
+                    "chash": batch.column("chash").cast(pa.uint64()),
+                    "rep": batch.column(min_col).cast(pa.int64()),
+                }
+            )
+
+        rep_by_ch = agg1.map_batches(_rename_rep, batch_format="pyarrow")
+        m1_map = (
+            m1.join(rep_by_ch, "inner", num_partitions=num_partitions, on=("chash",))
+            .map_batches(lambda b: b.select([id_col, "rep"]), batch_format="pyarrow")
+            # coalesce away the schema-less empty blocks join partitions
+            # emit (they crash the LEFT side of the final join below)
+            .repartition(num_partitions)
+            .materialize()
+        )
+        reps_only = rep_by_ch.map_batches(
+            lambda b: b.select(["rep"]), batch_format="pyarrow"
+        )
+        rep_rows = ds.join(
+            reps_only,
+            "inner",
+            num_partitions=num_partitions,
+            on=(id_col,),
+            right_on=("rep",),
+        )
+        band_rows = _minhash(rep_rows)
+
+    # ---- level 2: bucket min + per-rep global min (built-in aggs) -----
+    # The bucket-min PICKUP differs per regime: the broadcast regime must
+    # stay join-free — `Dataset.join`'s hash-shuffle aggregator ACTORS
+    # cannot be scheduled while another streaming executor (e.g. the CPG
+    # edge-write thread that runs this concurrently) holds all CPUs, a
+    # measured deadlock at 4 CPUs.  Only duplicated buckets (≥2 members)
+    # are collected — singleton buckets' min is the member itself.
+    bmin = (
+        band_rows.groupby(["band", "bucket"])
+        .aggregate(Min(id_col), Count())
         .materialize()
     )
 
-    # distinct-rep id set (one per distinct content)
-    rep_ids: set = set()
-    for b in m1_map.iter_batches(batch_format="pyarrow"):
-        rep_ids.update(pc.unique(b.column("rep")).to_pylist())
-    rep_ref = ray.put(frozenset(rep_ids))
+    if use_broadcast:
+        # per-band sorted bucket arrays -> exact vectorized searchsorted
+        # lookup (no composite-key collision risk, no join)
+        bands_l: list[int] = []
+        buckets_l: list[int] = []
+        mins_l: list[int] = []
+        for b in bmin.iter_batches(batch_format="pyarrow"):
+            dup = b.filter(pc.greater(b.column("count()"), 1))
+            bands_l.extend(dup.column("band").to_pylist())
+            buckets_l.extend(dup.column("bucket").to_pylist())
+            mins_l.extend(dup.column(min_col).to_pylist())
+        band_np = np.array(bands_l, dtype=np.int32)
+        buck_np = np.array(buckets_l, dtype=np.uint64)
+        mins_np = np.array(mins_l, dtype=np.int64)
+        per_band: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for bd in np.unique(band_np):
+            sel = band_np == bd
+            bk, mv = buck_np[sel], mins_np[sel]
+            o = np.argsort(bk)
+            per_band[int(bd)] = (bk[o], mv[o])
+        bmin_ref = ray.put(per_band)
+        bmin_key = bmin_ref.hex()
 
-    # ---- level 2: banded MinHash over distinct texts ------------------
-    rep_key = rep_ref.hex()
+        def pickup(batch: pa.Table) -> pa.Table:
+            pb = _MINHASHER_MEMO.get(bmin_key)
+            if pb is None:
+                pb = ray.get(bmin_ref)
+                _MINHASHER_MEMO[bmin_key] = pb
+            ids = (
+                batch.column(id_col)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            bd_arr = (
+                batch.column("band")
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int32)
+            )
+            bk_arr = (
+                batch.column("bucket")
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            cand = ids.copy()
+            for bd in np.unique(bd_arr):
+                ent = pb.get(int(bd))
+                if ent is None:
+                    continue
+                sk, sv = ent
+                sel = bd_arr == bd
+                pos = np.minimum(np.searchsorted(sk, bk_arr[sel]), len(sk) - 1)
+                hit = sk[pos] == bk_arr[sel]
+                cand[sel] = np.where(hit, sv[pos], ids[sel])
+            return pa.table(
+                {id_col: batch.column(id_col), "cand": pa.array(cand, pa.int64())}
+            )
 
-    def rep_filter(batch: pa.Table) -> pa.Table:
-        arr = _MINHASHER_MEMO.get(rep_key)
-        if arr is None:  # once per worker
-            arr = pa.array(list(ray.get(rep_ref)), pa.int64())
-            _MINHASHER_MEMO[rep_key] = arr
-        return batch.filter(
-            pc.is_in(batch.column(id_col), value_set=arr.cast(batch.column(id_col).type))
+        members = band_rows.map_batches(pickup, batch_format="pyarrow")
+    else:
+
+        def _rename_cand(batch: pa.Table) -> pa.Table:
+            # cast keys back to the band_rows dtypes (groupby promotes them)
+            return pa.table(
+                {
+                    "band": batch.column("band").cast(pa.int32()),
+                    "bucket": batch.column("bucket").cast(pa.uint64()),
+                    "cand": batch.column(min_col).cast(pa.int64()),
+                }
+            )
+
+        members = band_rows.join(
+            bmin.map_batches(_rename_cand, batch_format="pyarrow"),
+            "inner",
+            num_partitions=num_partitions,
+            on=("band", "bucket"),
+        )
+    rep_canon = members.groupby(id_col).min("cand")
+
+    def _collapsed_only(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks().cast(pa.int64())
+        canon = batch.column("min(cand)").combine_chunks().cast(pa.int64())
+        t = pa.table({"cfrom": ids, "cto": canon})
+        return t.filter(pc.not_equal(t.column("cfrom"), t.column("cto")))
+
+    collapsed = rep_canon.map_batches(_collapsed_only, batch_format="pyarrow")
+
+    # ---- level 3: path compression + member mapping -------------------
+    if use_broadcast:
+        # collapse map is O(collapsed reps) — compress fully on the driver
+        cmap: dict = {}
+        for b in collapsed.iter_batches(batch_format="pyarrow"):
+            cmap.update(zip(b.column("cfrom").to_pylist(), b.column("cto").to_pylist()))
+        for k in list(cmap):
+            v = cmap[k]
+            seen = {k}
+            while v in cmap and v not in seen:
+                seen.add(v)
+                v = cmap[v]
+            cmap[k] = v
+        ck_np = np.array(list(cmap.keys()), dtype=np.int64)
+        cv_np = np.array(list(cmap.values()), dtype=np.int64)
+        _order = np.argsort(ck_np)
+        cmap_ref = ray.put((ck_np[_order], cv_np[_order]))
+        cmap_key = cmap_ref.hex()
+
+        # numpy searchsorted lookup (NOT pc.index_in/take: take over a
+        # null-bearing chunked index array returned corrupted values
+        # inside Ray workers — observed zeros fabricated from clean
+        # inputs)
+        def finalize(batch: pa.Table) -> pa.Table:
+            got = _MINHASHER_MEMO.get(cmap_key)
+            if got is None:
+                got = ray.get(cmap_ref)
+                _MINHASHER_MEMO[cmap_key] = got
+            sk, sv = got
+            rep = batch.column("rep").combine_chunks()
+            rep_np = rep.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(sk):
+                pos = np.minimum(np.searchsorted(sk, rep_np), len(sk) - 1)
+                hit = sk[pos] == rep_np
+                canon = np.where(hit, sv[pos], rep_np)
+            else:
+                canon = rep_np
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "canonical_id": pa.array(canon, pa.int64()),
+                }
+            )
+
+        return m1_map.map_batches(finalize, batch_format="pyarrow")
+
+    # distributed fixed-round compression: 3 self-joins => chains ≤ 2^3.
+    # repartition first: groupby/join operators emit schema-less EMPTY
+    # blocks for empty hash partitions, and an acero join crashes on a
+    # left partition assembled only from those ("No match ... FieldRef");
+    # coalescing merges them into schema-carrying blocks.  The collapsed
+    # set is O(collapsed reps) — small relative to the corpus.
+    collapsed = collapsed.repartition(max(2, num_partitions // 4)).materialize()
+    for _ in range(3):
+        nxt = collapsed.join(
+            collapsed.map_batches(
+                lambda b: pa.table({"jfrom": b.column("cfrom"), "jto": b.column("cto")}),
+                batch_format="pyarrow",
+            ),
+            "left_outer",
+            num_partitions=num_partitions,
+            on=("cto",),
+            right_on=("jfrom",),
         )
 
-    band_rows = ds.map_batches(rep_filter, batch_format="pyarrow").map_batches(
-        minhasher_fn(
-            text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands
+        def _compress(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "cfrom": batch.column("cfrom"),
+                    "cto": pc.coalesce(batch.column("jto"), batch.column("cto")),
+                }
+            )
+
+        collapsed = (
+            nxt.map_batches(_compress, batch_format="pyarrow")
+            .repartition(max(2, num_partitions // 4))
+            .materialize()
+        )
+
+    joined = m1_map.join(
+        collapsed.map_batches(
+            lambda b: pa.table({"jfrom": b.column("cfrom"), "jto": b.column("cto")}),
+            batch_format="pyarrow",
         ),
-        batch_format="pyarrow",
-    ).map_batches(
-        lambda b: b.select([id_col, "band", "bucket"]), batch_format="pyarrow"
-    ).materialize()  # groupby sampling must not re-run the MinHasher stage
-
-    def bucket_min(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col)
-        lo = pc.min(ids).as_py()
-        return pa.table(
-            {
-                id_col: ids,
-                "cand": pa.array([lo] * batch.num_rows, ids.type),
-            }
-        )
-
-    members = band_rows.groupby(["band", "bucket"]).map_groups(
-        bucket_min, batch_format="pyarrow"
+        "left_outer",
+        num_partitions=num_partitions,
+        on=("rep",),
+        right_on=("jfrom",),
     )
 
-    def global_min(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                id_col: batch.column(id_col).slice(0, 1),
-                "canonical_id": pa.array(
-                    [pc.min(batch.column("cand")).as_py()], batch.column("cand").type
-                ),
-            }
-        )
-
-    rep_canon = members.groupby(id_col).map_groups(global_min, batch_format="pyarrow")
-
-    # ---- level 3: member -> rep -> canonical --------------------------
-    # only COLLAPSED reps matter (canonical != self) — a small table,
-    # path-compressed (a bucket min can itself collapse through another
-    # bucket; compression makes the final mapping idempotent), then
-    # applied as a vectorized index_in/take lookup
-    cmap: dict = {}
-    for b in rep_canon.iter_batches(batch_format="pyarrow"):
-        eq = b.filter(pc.not_equal(b.column(id_col), b.column("canonical_id")))
-        cmap.update(
-            zip(eq.column(id_col).to_pylist(), eq.column("canonical_id").to_pylist())
-        )
-    for k in list(cmap):
-        v = cmap[k]
-        seen = {k}
-        while v in cmap and v not in seen:
-            seen.add(v)
-            v = cmap[v]
-        cmap[k] = v
-    import os as _os
-
-    if _os.environ.get("JOERN_DEDUP_DEBUG"):
-        import sys as _sys
-
-        zk = sum(1 for k in cmap if k == 0)
-        zv = sum(1 for v in cmap.values() if v == 0)
-        print(
-            f"[minhash_dedup] cmap={len(cmap)} zero_keys={zk} zero_vals={zv} "
-            f"reps={len(rep_ids)} zero_rep={0 in rep_ids}",
-            file=_sys.stderr,
-            flush=True,
-        )
-    ck, cv = list(cmap.keys()), list(cmap.values())
-
-    # numpy searchsorted lookup (NOT pc.index_in/take: take over a
-    # null-bearing chunked index array returned corrupted values inside
-    # Ray workers — observed zeros fabricated from clean inputs)
-    ck_np = np.array(ck, dtype=np.int64)
-    cv_np = np.array(cv, dtype=np.int64)
-    _order = np.argsort(ck_np)
-    sk, sv = ck_np[_order], cv_np[_order]
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        rep = batch.column("rep").combine_chunks()
-        rep_np = rep.to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(sk):
-            pos = np.minimum(np.searchsorted(sk, rep_np), len(sk) - 1)
-            hit = sk[pos] == rep_np
-            canon = np.where(hit, sv[pos], rep_np)
-        else:
-            canon = rep_np
+    def _final_join(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 id_col: batch.column(id_col),
-                "canonical_id": pa.array(canon, rep.type),
+                "canonical_id": pc.coalesce(
+                    batch.column("jto"), batch.column("rep")
+                ).cast(pa.int64()),
             }
         )
 
-    return m1_map.map_batches(finalize, batch_format="pyarrow")
+    return joined.map_batches(_final_join, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

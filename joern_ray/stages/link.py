@@ -55,6 +55,51 @@ def stub_id(fqn: str) -> int:
     return hash64("STUB", fqn)
 
 
+def dim_nodes_batch(keys: list[str], label: str, id_fn) -> pa.Table:
+    """Columnar NODES_SCHEMA table for one dimension kind — built
+    directly as arrays (these run distributed inside map_batches over
+    the aggregated survey; a per-row dict path was the measured driver
+    cost when dims were synthesized on the driver).  Keys are sorted so
+    output blocks are deterministic."""
+    keys = sorted(keys)
+    n = len(keys)
+    cols = {f: pa.nulls(n, NODES_SCHEMA.field(f).type) for f in NODES_SCHEMA.names}
+    cols["id"] = pa.array([id_fn(k) for k in keys], pa.uint64())
+    cols["label"] = pa.array([label] * n, pa.string())
+    cols["name"] = pa.array(keys, pa.string())
+    cols["full_name"] = pa.array(keys, pa.string())
+    cols["order"] = pa.array([0] * n, pa.int32())
+    cols["argument_index"] = pa.array([-1] * n, pa.int32())
+    cols["line"] = pa.array([-1] * n, pa.int32())
+    cols["col"] = pa.array([-1] * n, pa.int32())
+    return pa.table(cols, schema=NODES_SCHEMA)
+
+
+def stub_nodes_batch(fqns: list[str], max_args: dict[str, int]) -> pa.Table:
+    """METHOD stub rows for unresolved call fqns (reference
+    `MethodStubCreator.scala:24-70`): the stub signature carries
+    max-arity ANY parameters from the CallSummary aggregate."""
+    fqns = sorted(fqns)
+    t = dim_nodes_batch(fqns, "METHOD", stub_id)
+    n = len(fqns)
+    names = [
+        f if f.startswith("<operator>") else f.rsplit(".", 1)[-1] for f in fqns
+    ]
+    sigs = [
+        "ANY(" + ",".join(["ANY"] * int(max_args.get(f, 0))) + ")" for f in fqns
+    ]
+    t = t.set_column(t.schema.get_field_index("name"), "name", pa.array(names, pa.string()))
+    t = t.set_column(
+        t.schema.get_field_index("signature"), "signature", pa.array(sigs, pa.string())
+    )
+    t = t.set_column(
+        t.schema.get_field_index("code"), "code", pa.array(["<empty>"] * n, pa.string())
+    )
+    return t.set_column(
+        t.schema.get_field_index("lang"), "lang", pa.array([""] * n, pa.string())
+    )
+
+
 # ---------------------------------------------------------------------------
 # Map-side linkers (no shuffle): EVAL_TYPE, SOURCE_FILE, NAMESPACE REF.
 # ---------------------------------------------------------------------------

@@ -52,6 +52,8 @@ UNION_SCHEMA = pa.schema(
         pa.field("skind", pa.string()),
         pa.field("skey", pa.string()),
         pa.field("sc", pa.int64()),
+        pa.field("sn", pa.int64()),
+        pa.field("sx", pa.int64()),
         pa.field("row_kind", pa.string()),
         pa.field("part", pa.int32()),
     ]
@@ -122,8 +124,16 @@ def make_union_from_tables(
         cols[name] = pa.concat_arrays(
             [pa.nulls(n_p + n_m + n_e, typ), rt.column(name).combine_chunks(), pa.nulls(n_s, typ)]
         )
-    for sname, styp in (("skind", pa.string()), ("skey", pa.string()), ("sc", pa.int64())):
-        src = svt.column({"skind": "kind", "skey": "key", "sc": "c"}[sname]).combine_chunks()
+    for sname, styp in (
+        ("skind", pa.string()),
+        ("skey", pa.string()),
+        ("sc", pa.int64()),
+        ("sn", pa.int64()),
+        ("sx", pa.int64()),
+    ):
+        src = svt.column(
+            {"skind": "kind", "skey": "key", "sc": "c", "sn": "n", "sx": "x"}[sname]
+        ).combine_chunks()
         cols[sname] = pa.concat_arrays([pa.nulls(n_p + n_m + n_e + n_r, styp), src])
     cols["row_kind"] = pa.array(
         ["node"] * n_p + ["mtnode"] * n_m + ["edge"] * n_e + ["reject"] * n_r + ["survey"] * n_s,

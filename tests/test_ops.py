@@ -197,3 +197,47 @@ def test_media_pipeline(ray_session):
     assert t.num_rows == 48
     assert len(t.column("features")[0]) == 64
     assert set(t.column("media_type").to_pylist()) <= {"image/png", "image/jpeg", "audio/wav"}
+
+
+def test_minhash_dedup_regime_parity(ray_session):
+    """Broadcast (under-gate) and shuffle-join (gate=0) regimes must emit
+    the identical (id -> canonical) collapse mapping (verdict r2 item 5:
+    no O(distinct-contents) driver structure in the join regime)."""
+    import ray.data
+
+    from joern_ray.stages.dedup import minhash_dedup
+
+    base = (
+        "int accumulate(int *val, int n) { int total = 0; "
+        "for (int i = 0; i < n; i++) { total += val[i]; } return total; }"
+    )
+    texts = [
+        base,
+        base,  # exact dup of 0
+        base.replace("val", "value"),  # near dup
+        "void other() { return; }",
+        "void another(int x) { while (x) { x--; } }",
+        base,  # another exact dup
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+    def run(gate):
+        ds = ray.data.from_arrow(t)
+        out = minhash_dedup(
+            ds, num_perm=64, bands=16, driver_gate=gate, num_partitions=4
+        )
+        got = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+        return dict(
+            zip(got.column("doc_id").to_pylist(), got.column("canonical_id").to_pylist())
+        )
+
+    bc = run(10_000)
+    sj = run(0)  # forces the distributed shuffle-join regime
+    assert bc == sj
+    assert set(bc.keys()) == set(range(len(texts)))  # total mapping
+    assert bc[1] == bc[0] == 0 and bc[5] == 0  # exact dups collapse
+    assert bc[2] == 0  # near dup collapses into the same cluster
+    assert bc[3] == 3 and bc[4] == 4  # unique docs stay their own canonical
+    # idempotence: canonical ids are fixed points
+    for cid in set(bc.values()):
+        assert bc[cid] == cid
