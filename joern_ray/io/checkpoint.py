@@ -19,7 +19,7 @@ import json
 import os
 import time
 
-ENGINE_VERSION = "0.3.0"  # bumped: survey schema (sn/sx, folded ty), distributed survey_agg + dims
+ENGINE_VERSION = "0.3.1"  # bumped: pivoted single-groupby survey_agg; dims = pure map over it
 
 
 def _footer_row_count(path: str) -> tuple[int, list[str]]:

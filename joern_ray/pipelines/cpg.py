@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -306,68 +307,127 @@ def build_cpg(
     # ---- stage: survey aggregation (distributed groupby, checkpointed) --
     # Replaces the driver-side polars pass over ALL partials (O(distinct
     # FQNs × batches) transfer + ~10s fixed driver time at 600k docs):
-    # ONE Ray groupby aggregates the partials cluster-side into the
-    # `survey_agg` checkpoint (hive-partitioned by skind), and the driver
-    # reads back only tiny filtered projections — dup FQNs (≥2), hot keys
-    # (≥ threshold) and footer row counts.  The full key sets never touch
-    # the driver except in the gated broadcast control plane below.
+    # the per-kind partial counts are PIVOTED into columns map-side so
+    # ONE Ray groupby(skey) aggregates everything the control plane and
+    # the dims/stub synthesis need — per-kind counts (m/td/ty/ns/ca) and
+    # the CallSummary min/max-arg stats — into the `survey_agg`
+    # checkpoint.  The driver reads back only tiny filtered projections
+    # (dup FQNs ≥2, hot keys ≥ threshold, counts); the stub anti-join
+    # (ca_c>0 & m_c=0) becomes a column filter instead of a second
+    # groupby.  The full key sets never touch the driver except in the
+    # gated broadcast control plane below.
     import pyarrow.dataset as pads
     from ray.data.aggregate import Max as _AMax
     from ray.data.aggregate import Min as _AMin
     from ray.data.aggregate import Sum as _ASum
 
     svagg_path = os.path.join(out_dir, "survey_agg")
+    _SN_SENTINEL = 1 << 31  # non-'ca' rows must not win the Min(sn)
+
+    _SV_AGGS = [
+        ("m_c", "sum"),
+        ("td_c", "sum"),
+        ("ty_c", "sum"),
+        ("ns_c", "sum"),
+        ("ca_c", "sum"),
+        ("sn", "min"),
+        ("sx", "max"),
+    ]
+    _SV_NAMES = ["skey", "m_c", "td_c", "ty_c", "ns_c", "ca_c", "sn", "sx"]
+    n_sv_buckets = max(8, num_partitions)
 
     def svagg_factory():
-        agg = (
-            read_union_split(parse_path, "survey")
-            .groupby(["skind", "skey"])
-            .aggregate(_ASum("sc"), _AMin("sn"), _AMax("sx"))
-        )
+        import polars as pl
+
+        def _local_combine(t: pa.Table) -> pa.Table:
+            g = t.group_by("skey").aggregate(_SV_AGGS)
+            return g.rename_columns(_SV_NAMES)
+
+        def _pivot(b: pa.Table) -> pa.Table:
+            kind = b.column("skind")
+            zero = pa.scalar(0, pa.int64())
+
+            def cnt(k: str):
+                return pc.if_else(pc.equal(kind, k), b.column("sc"), zero)
+
+            is_ca = pc.equal(kind, "ca")
+            t = pa.table(
+                {
+                    "skey": b.column("skey"),
+                    "m_c": cnt("m"),
+                    "td_c": cnt("td"),
+                    "ty_c": cnt("ty"),
+                    "ns_c": cnt("ns"),
+                    "ca_c": cnt("ca"),
+                    "sn": pc.if_else(
+                        is_ca, b.column("sn"), pa.scalar(_SN_SENTINEL, pa.int64())
+                    ),
+                    "sx": pc.if_else(is_ca, b.column("sx"), zero),
+                }
+            )
+            # map-side combine (pyarrow group_by — vectorized C++), then a
+            # DETERMINISTIC key-hash bucket (polars fixed-seed hash; the
+            # builtin hash() is salted per worker process and would split
+            # one key across buckets)
+            g = _local_combine(t)
+            kh = (
+                pl.from_arrow(g.column("skey").combine_chunks())
+                .hash(seed=11)
+                .to_numpy()
+            )
+            bucket = (kh % np.uint64(n_sv_buckets)).astype(np.int64)
+            return g.append_column("bucket", pa.array(bucket, pa.int64()))
+
+        def _bucket_combine(g: pa.Table) -> pa.Table:
+            return _local_combine(g.drop(["bucket"]))
 
         def _rn(b: pa.Table) -> pa.Table:
             return pa.table(
                 {
-                    "skind": b.column("skind").cast(pa.string()),
                     "skey": b.column("skey").cast(pa.string()),
-                    "s_sum": b.column("sum(sc)").cast(pa.int64()),
-                    "s_min": b.column("min(sn)").cast(pa.int64()),
-                    "s_max": b.column("max(sx)").cast(pa.int64()),
+                    "m_c": b.column("m_c").cast(pa.int64()),
+                    "td_c": b.column("td_c").cast(pa.int64()),
+                    "ty_c": b.column("ty_c").cast(pa.int64()),
+                    "ns_c": b.column("ns_c").cast(pa.int64()),
+                    "ca_c": b.column("ca_c").cast(pa.int64()),
+                    "s_min": b.column("sn").cast(pa.int64()),
+                    "s_max": b.column("sx").cast(pa.int64()),
                 }
             )
 
-        return agg.map_batches(_rn, batch_format="pyarrow")
+        # combine -> bucket shuffle on a small int key -> vectorized
+        # per-bucket combine.  Ray's built-in .aggregate() accumulates
+        # per ROW in Python (measured 7.2s for 350k partial rows at
+        # sf0.1); this shape is 2.7s and all the per-key work stays in
+        # Arrow kernels.  Buckets scale with num_partitions, so per-group
+        # size is distinct_keys/buckets regardless of corpus size.
+        survey_src = ray.data.read_parquet(
+            os.path.join(parse_path, "row_kind=survey"),
+            columns=_KEEP["survey"],
+            override_num_blocks=16,
+        )
+        return (
+            survey_src.map_batches(_pivot, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(_bucket_combine, batch_format="pyarrow")
+            .map_batches(_rn, batch_format="pyarrow")
+        )
 
-    checkpoint(
-        svagg_factory, svagg_path, "survey_agg", parse_fp, partition_cols=["skind"]
-    )
+    checkpoint(svagg_factory, svagg_path, "survey_agg", parse_fp)
+    _svds = pads.dataset(svagg_path, format="parquet")
 
-    def _sv_dir(kind: str) -> "str | None":
-        p = os.path.join(svagg_path, f"skind={kind}")
-        return p if os.path.isdir(p) else None
+    def _sv_keys(flt) -> list[str]:
+        return (
+            _svds.to_table(columns=["skey"], filter=flt).column("skey").to_pylist()
+        )
 
-    def _sv_keys(kind: str, flt=None) -> list[str]:
-        p = _sv_dir(kind)
-        if p is None:
-            return []
-        t = pads.dataset(p, format="parquet").to_table(columns=["skey"], filter=flt)
-        return t.column("skey").to_pylist()
-
-    def _sv_count(kind: str) -> int:
-        p = _sv_dir(kind)
-        if p is None:
-            return 0
-        return pads.dataset(p, format="parquet").count_rows()
-
-    dup_fqns = frozenset(
-        _sv_keys("m", pads.field("s_sum") >= 2)
-        + _sv_keys("td", pads.field("s_sum") >= 2)
-    )
-    n_methods = _sv_count("m")
-    n_mt = n_methods + _sv_count("td")
-    n_calls = _sv_count("ca")
+    _f = pads.field
+    dup_fqns = frozenset(_sv_keys((_f("m_c") >= 2) | (_f("td_c") >= 2)))
+    n_methods = _svds.count_rows(filter=_f("m_c") > 0)
+    n_mt = n_methods + _svds.count_rows(filter=_f("td_c") > 0)
+    n_calls = _svds.count_rows(filter=_f("ca_c") > 0)
     use_broadcast = (not force_shuffle_link) and n_methods <= broadcast_limit
-    hot_keys = set(_sv_keys("ca", pads.field("s_sum") >= hot_key_threshold))
+    hot_keys = set(_sv_keys(_f("ca_c") >= hot_key_threshold))
     _mark("survey")
 
     # ---- stage: canonicalize (both regimes, fully distributed) --------
@@ -439,8 +499,8 @@ def build_cpg(
     # SURVEY.md §2.4 row 3).
     dyn_driver_gate = int(os.environ.get("JOERN_RAY_DYN_GATE", 20_000_000))
     if n_methods + n_calls <= dyn_driver_gate:
-        known = frozenset(_sv_keys("m"))
-        ca_fqns = _sv_keys("ca")
+        known = frozenset(_sv_keys(_f("m_c") > 0))
+        ca_fqns = _sv_keys(_f("ca_c") > 0)
     else:
         known = frozenset()
         ca_fqns = []
@@ -519,10 +579,11 @@ def build_cpg(
     # ---- dimensions + stubs: DISTRIBUTED synthesis over the aggregated
     # survey (round-2 verdict #1b: the O(distinct FQNs) dim/stub row
     # construction was the driver's largest remaining serial term).
-    # TYPE rows come straight from skind=ty (already distinct post-agg),
-    # NAMESPACE from skind=ns; stubs are an anti-join of skind=ca against
-    # skind=m via ONE pivot groupby — no key set is ever collected.
-    # Runs in a thread overlapped with the edge write + equivalences.
+    # The pivoted survey_agg already carries per-kind counts per key, so
+    # this is ONE pure map over its Parquet files — TYPE rows from
+    # ty_c>0, NAMESPACE from ns_c>0, stubs from the anti-join filter
+    # ca_c>0 & m_c=0 minus dyn-resolved keys.  No groupby, no key set
+    # collected, no extra shuffle.
     import pyarrow.parquet as pq
 
     from ..io.checkpoint import write_manifest
@@ -553,88 +614,56 @@ def build_cpg(
             ],
             NODES_SCHEMA,
         )
-        parts = [_rd.from_arrow(meta_t)]
-        ty_p, ns_p = _sv_dir("ty"), _sv_dir("ns")
-        if ty_p:
-            parts.append(
-                _rd.read_parquet(ty_p, columns=["skey"]).map_batches(
-                    lambda b: dim_nodes_batch(
-                        [k for k in b.column("skey").to_pylist() if k], "TYPE", type_id
-                    ),
-                    batch_format="pyarrow",
+
+        def _dims_batch(b: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            keys = b.column("skey").cast(pa.string())
+            out = []
+            ty = b.filter(pc.greater(b.column("ty_c"), 0))
+            if ty.num_rows:
+                out.append(
+                    dim_nodes_batch(
+                        [k for k in ty.column("skey").to_pylist() if k],
+                        "TYPE",
+                        type_id,
+                    )
                 )
-            )
-        if ns_p:
-            parts.append(
-                _rd.read_parquet(ns_p, columns=["skey"]).map_batches(
-                    lambda b: dim_nodes_batch(
-                        [k for k in b.column("skey").to_pylist() if k],
+            ns = b.filter(pc.greater(b.column("ns_c"), 0))
+            if ns.num_rows:
+                out.append(
+                    dim_nodes_batch(
+                        [k for k in ns.column("skey").to_pylist() if k],
                         "NAMESPACE",
                         namespace_id,
-                    ),
-                    batch_format="pyarrow",
-                )
-            )
-        ca_p, m_p = _sv_dir("ca"), _sv_dir("m")
-        if ca_p:
-            def _tag_ca(b: pa.Table) -> pa.Table:
-                return pa.table(
-                    {
-                        "skey": b.column("skey").cast(pa.string()),
-                        "ca_c": b.column("s_sum").cast(pa.int64()),
-                        "m_c": pa.array([0] * b.num_rows, pa.int64()),
-                        "ax": b.column("s_max").cast(pa.int64()),
-                    }
-                )
-
-            def _tag_m(b: pa.Table) -> pa.Table:
-                return pa.table(
-                    {
-                        "skey": b.column("skey").cast(pa.string()),
-                        "ca_c": pa.array([0] * b.num_rows, pa.int64()),
-                        "m_c": b.column("s_sum").cast(pa.int64()),
-                        "ax": pa.array([0] * b.num_rows, pa.int64()),
-                    }
-                )
-
-            src_ds = _rd.read_parquet(ca_p, columns=["skey", "s_sum", "s_max"]).map_batches(
-                _tag_ca, batch_format="pyarrow"
-            )
-            if m_p:
-                src_ds = src_ds.union(
-                    _rd.read_parquet(m_p, columns=["skey", "s_sum"]).map_batches(
-                        _tag_m, batch_format="pyarrow"
                     )
                 )
-            piv = src_ds.groupby("skey").aggregate(_ASum("ca_c"), _ASum("m_c"), _AMax("ax"))
-
-            def _stub_rows(b: pa.Table) -> pa.Table:
-                import ray as _ray
-
-                dk = _KEYSET_CACHE.get(dyn_keys_ref.hex())
-                if dk is None:
-                    dk = _ray.get(dyn_keys_ref)
-                    _KEYSET_CACHE[dyn_keys_ref.hex()] = dk
-                keep = pc.and_(
-                    pc.greater(b.column("sum(ca_c)"), 0),
-                    pc.equal(b.column("sum(m_c)"), 0),
-                )
-                if len(dk):
-                    keep = pc.and_(
-                        keep,
-                        pc.invert(pc.is_in(b.column("skey").cast(pa.string()), value_set=dk)),
-                    )
-                s = b.filter(keep)
+            keep = pc.and_(
+                pc.greater(b.column("ca_c"), 0), pc.equal(b.column("m_c"), 0)
+            )
+            dk = _KEYSET_CACHE.get(dyn_keys_ref.hex())
+            if dk is None:
+                dk = _ray.get(dyn_keys_ref)
+                _KEYSET_CACHE[dyn_keys_ref.hex()] = dk
+            if len(dk):
+                keep = pc.and_(keep, pc.invert(pc.is_in(keys, value_set=dk)))
+            s = b.filter(keep)
+            if s.num_rows:
                 fqns = [k for k in s.column("skey").to_pylist() if k]
                 ax = dict(
-                    zip(s.column("skey").to_pylist(), s.column("max(ax)").to_pylist())
+                    zip(s.column("skey").to_pylist(), s.column("s_max").to_pylist())
                 )
-                return stub_nodes_batch(fqns, ax)
+                out.append(stub_nodes_batch(fqns, ax))
+            if not out:
+                return NODES_SCHEMA.empty_table()
+            return pa.concat_tables(out)
 
-            parts.append(piv.map_batches(_stub_rows, batch_format="pyarrow"))
-        dims_ds = parts[0]
-        for p in parts[1:]:
-            dims_ds = dims_ds.union(p)
+        dims_ds = _rd.from_arrow(meta_t).union(
+            _rd.read_parquet(
+                svagg_path,
+                columns=["skey", "m_c", "ty_c", "ns_c", "ca_c", "s_max"],
+            ).map_batches(_dims_batch, batch_format="pyarrow")
+        )
         import shutil as _shutil
 
         if os.path.isdir(dims_path):

@@ -51,25 +51,27 @@ def add_content_hash(batch: pa.Table, col: str, out_col: str = "content_hash64")
 def exact_dedup(ds, col: str, id_col: str):
     """Hash-partition + per-group first (deterministic min id): returns
     Dataset of (id_col winner, n_dups) per distinct value of `col`.
-    Built-in Min/Count aggregation — no per-group Python UDF (one Python
-    call per distinct value was a measured bottleneck shape)."""
-    from ray.data.aggregate import Count, Min
+    Vectorized combine via `bucketed_group_agg` — both the per-group
+    Python UDF (one call per distinct value) and Ray's built-in
+    aggregate (one Python call per ROW in the reduce) were measured
+    bottleneck shapes."""
+    from ..util import bucketed_group_agg
 
     def h(batch: pa.Table) -> pa.Table:
         b = add_content_hash(batch, col)
         return b.select([id_col, "content_hash64"])
 
-    agg = (
-        ds.map_batches(h, batch_format="pyarrow")
-        .groupby("content_hash64")
-        .aggregate(Min(id_col), Count())
+    agg = bucketed_group_agg(
+        ds.map_batches(h, batch_format="pyarrow"),
+        ["content_hash64"],
+        [(id_col, "min"), (id_col, "count")],
     )
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                id_col: batch.column(f"min({id_col})"),
-                "n_dups": batch.column("count()").cast(pa.int64()),
+                id_col: batch.column(f"{id_col}_min"),
+                "n_dups": batch.column(f"{id_col}_count").cast(pa.int64()),
             }
         )
 
@@ -355,9 +357,9 @@ def minhash_dedup(
     spirit as the reference's fixed-iteration type recovery,
     `XTypeRecovery.scala:143-145`)."""
     import ray
-    from ray.data.aggregate import Count, Min
 
     from ..functions.hashing import hash64
+    from ..util import bucketed_group_agg
 
     # ---- level 1: exact content collapse ------------------------------
     def chash_proj(batch: pa.Table) -> pa.Table:
@@ -377,8 +379,11 @@ def minhash_dedup(
         )
     use_broadcast = n_rows <= driver_gate
     # (chash, min(id), count) — built-in vectorized aggregation
-    agg1 = m1.groupby("chash").aggregate(Min(id_col), Count()).materialize()
-    min_col = f"min({id_col})"
+    agg1 = bucketed_group_agg(
+        m1, ["chash"], [(id_col, "min"), (id_col, "count")], num_buckets=num_partitions
+    ).materialize()
+    min_col = f"{id_col}_min"
+    cnt_col = f"{id_col}_count"
 
     def _minhash(rep_rows):
         """Distinct-text rows -> (rep id, band, bucket) rows."""
@@ -404,7 +409,7 @@ def minhash_dedup(
         dup_ch: list[int] = []
         dup_rep: list[int] = []
         for b in agg1.iter_batches(batch_format="pyarrow"):
-            dup = b.filter(pc.greater(b.column("count()"), 1))
+            dup = b.filter(pc.greater(b.column(cnt_col), 1))
             dup_ch.extend(dup.column("chash").to_pylist())
             dup_rep.extend(dup.column(min_col).to_pylist())
         sk_ = np.array(dup_ch, dtype=np.uint64)
@@ -492,11 +497,12 @@ def minhash_dedup(
     # edge-write thread that runs this concurrently) holds all CPUs, a
     # measured deadlock at 4 CPUs.  Only duplicated buckets (≥2 members)
     # are collected — singleton buckets' min is the member itself.
-    bmin = (
-        band_rows.groupby(["band", "bucket"])
-        .aggregate(Min(id_col), Count())
-        .materialize()
-    )
+    bmin = bucketed_group_agg(
+        band_rows,
+        ["band", "bucket"],
+        [(id_col, "min"), (id_col, "count")],
+        num_buckets=num_partitions,
+    ).materialize()
 
     if use_broadcast:
         # per-band sorted bucket arrays -> exact vectorized searchsorted
@@ -505,7 +511,7 @@ def minhash_dedup(
         buckets_l: list[int] = []
         mins_l: list[int] = []
         for b in bmin.iter_batches(batch_format="pyarrow"):
-            dup = b.filter(pc.greater(b.column("count()"), 1))
+            dup = b.filter(pc.greater(b.column(cnt_col), 1))
             bands_l.extend(dup.column("band").to_pylist())
             buckets_l.extend(dup.column("bucket").to_pylist())
             mins_l.extend(dup.column(min_col).to_pylist())
@@ -577,11 +583,13 @@ def minhash_dedup(
             num_partitions=num_partitions,
             on=("band", "bucket"),
         )
-    rep_canon = members.groupby(id_col).min("cand")
+    rep_canon = bucketed_group_agg(
+        members, [id_col], [("cand", "min")], num_buckets=num_partitions
+    )
 
     def _collapsed_only(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).combine_chunks().cast(pa.int64())
-        canon = batch.column("min(cand)").combine_chunks().cast(pa.int64())
+        canon = batch.column("cand_min").combine_chunks().cast(pa.int64())
         t = pa.table({"cfrom": ids, "cto": canon})
         return t.filter(pc.not_equal(t.column("cfrom"), t.column("cto")))
 
