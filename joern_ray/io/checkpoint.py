@@ -19,7 +19,7 @@ import json
 import os
 import time
 
-ENGINE_VERSION = "0.3.1"  # bumped: pivoted single-groupby survey_agg; dims = pure map over it
+ENGINE_VERSION = "0.4.0"  # bumped: dynamic_type_hint_full_name column + XTypeHintCallLinker
 
 
 def _footer_row_count(path: str) -> tuple[int, list[str]]:

@@ -89,6 +89,8 @@ class PNode:
     condition_child: "PNode | None" = None
     receiver_child: "PNode | None" = None
     ref_target: "PNode | None" = None  # e.g. IDENTIFIER -> LOCAL
+    # recovered-type hints (multi-valued; XTypeHintCallLinker input)
+    dynamic_type_hints: list[str] = field(default_factory=list)
     # generic typed edges to other nodes in the same fragment tree
     # (PARAMETER_LINK, BINDS, ... — reference `MethodDecoratorPass.scala:
     # 14-62` PARAMETER_LINK; BINDS via BINDING simplified to direct edge)
@@ -142,6 +144,11 @@ def flatten(
                 "dispatch_type": n.dispatch_type,
                 "method_full_name": subst(n.method_full_name),
                 "type_full_name": subst(n.type_full_name),
+                "dynamic_type_hint_full_name": (
+                    sorted(subst(h) for h in n.dynamic_type_hints)
+                    if n.dynamic_type_hints
+                    else None
+                ),
                 "line": n.line,
                 "col": n.col,
                 "url": url,

@@ -108,6 +108,13 @@ class PyFragmentParser:
         self.pending_locals: list[PNode] = []
         # var name -> class name for `x = C()` receiver-type tracking
         self.instance_types: list[dict[str, str]] = [{}]
+        # var name -> SET of hinted type fqns for receivers whose class is
+        # NOT defined in this fragment (imported / cross-document).  The
+        # flow-insensitive accumulate-a-set semantics of the reference
+        # SymbolTable (`SymbolTable.scala:69-155`, appended by
+        # `XTypeRecovery.scala:352-357`); the in-order statement walk is
+        # iteration 1, copy-assignments extend chains in document order.
+        self.hint_types: list[dict[str, set]] = [{}]
         self.known_defs: set[str] = set()
         self._collect_defs(tree)
         root = PNode(
@@ -372,6 +379,7 @@ class PyFragmentParser:
                          signature=sig, code=f"def {s.name}")
         self.scopes.append({})
         self.instance_types.append({})
+        self.hint_types.append({})
         for a, ptyp in zip(all_args, ptypes):
             p = self._new_at(a, "METHOD_PARAMETER_IN", name=a.arg,
                              code=a.arg,
@@ -392,6 +400,7 @@ class PyFragmentParser:
         self._drain_locals(body)
         self.fn_stack.pop()
         self.instance_types.pop()
+        self.hint_types.pop()
         self._finish_method(m, body, ret_type)
         self.scopes.pop()
         return m
@@ -437,7 +446,39 @@ class PyFragmentParser:
             and value.func.id[:1].isupper()
         ):
             self.instance_types[-1][target.id] = value.func.id
+        elif isinstance(target, pyast.Name) and isinstance(value, pyast.Call):
+            # constructor of a class NOT defined in this fragment
+            # (imported / another document): record a TYPE HINT instead —
+            # the symbol-table half of XTypeRecovery
+            # (`XTypeRecovery.scala:198-209` recovers imported call
+            # signatures; hints feed XTypeHintCallLinker downstream)
+            ctor = None
+            if isinstance(value.func, pyast.Name) and value.func.id[:1].isupper():
+                ctor = value.func.id
+            elif isinstance(value.func, pyast.Attribute) and value.func.attr[:1].isupper():
+                ctor = self._dotted_name(value.func)
+            if ctor:
+                self.hint_types[-1].setdefault(target.id, set()).add(ctor)
+        elif isinstance(target, pyast.Name) and isinstance(value, pyast.Name):
+            # `x = y` copies y's accumulated hint set (chain propagation)
+            for frame in reversed(self.hint_types):
+                if value.id in frame:
+                    self.hint_types[-1].setdefault(target.id, set()).update(
+                        frame[value.id]
+                    )
+                    break
         return call
+
+    @staticmethod
+    def _dotted_name(node) -> "str | None":
+        parts = []
+        while isinstance(node, pyast.Attribute):
+            parts.append(node.attr)
+            node = node.value
+        if isinstance(node, pyast.Name):
+            parts.append(node.id)
+            return ".".join(reversed(parts))
+        return None
 
     def _expr(self, e, store: bool = False) -> PNode:
         try:
@@ -609,6 +650,7 @@ class PyFragmentParser:
 
     def _call(self, e: pyast.Call) -> PNode:
         func = e.func
+        hint_list: list[str] = []
         if isinstance(func, pyast.Name):
             name = func.id
             mfn = name
@@ -628,7 +670,28 @@ class PyFragmentParser:
                         if base.id in frame:
                             cls = frame[base.id]
                             break
-                    mfn = f"{cls}.{name}" if cls else f"{base.id}.{name}"
+                    if cls is None:
+                        # recovered-hint receiver types: exactly ONE hint
+                        # resolves the call here (reference setCallees,
+                        # `XTypeHintCallLinker.scala:93-105`); ambiguous
+                        # sets ride the dynamic_type_hint_full_name list
+                        # into the link-stage XTypeHintCallLinker
+                        hints = None
+                        for frame in reversed(self.hint_types):
+                            if base.id in frame:
+                                hints = frame[base.id]
+                                break
+                        if hints and len(hints) == 1:
+                            t = next(iter(hints))
+                            recv.type_full_name = recv.type_full_name or t
+                            mfn = f"{t}.{name}"
+                        elif hints:
+                            hint_list = sorted(f"{t}.{name}" for t in hints)
+                            mfn = f"{base.id}.{name}"
+                        else:
+                            mfn = f"{base.id}.{name}"
+                    else:
+                        mfn = f"{cls}.{name}"
             else:
                 mfn = name
         else:
@@ -638,6 +701,8 @@ class PyFragmentParser:
             recv = self._expr(func)
         c = self._new_at(e, "CALL", name=name, method_full_name=mfn,
                          code=self._code(e), dispatch_type=disp)
+        if hint_list:
+            c.dynamic_type_hints = hint_list
         if recv is not None:
             recv.argument_index = 0
             c.receiver_child = recv

@@ -298,6 +298,7 @@ def build_cpg(
     _LINK_COLS = [
         "id", "label", "name", "full_name", "signature",
         "method_full_name", "type_full_name", "url",
+        "dynamic_type_hint_full_name",
     ]
     nodes_for_link = lambda: ray.data.read_parquet(  # noqa: E731
         os.path.join(parse_path, "row_kind=node"), columns=_LINK_COLS
@@ -330,10 +331,11 @@ def build_cpg(
         ("ty_c", "sum"),
         ("ns_c", "sum"),
         ("ca_c", "sum"),
+        ("th_c", "sum"),
         ("sn", "min"),
         ("sx", "max"),
     ]
-    _SV_NAMES = ["skey", "m_c", "td_c", "ty_c", "ns_c", "ca_c", "sn", "sx"]
+    _SV_NAMES = ["skey", "m_c", "td_c", "ty_c", "ns_c", "ca_c", "th_c", "sn", "sx"]
     n_sv_buckets = max(8, num_partitions)
 
     def svagg_factory():
@@ -350,7 +352,8 @@ def build_cpg(
             def cnt(k: str):
                 return pc.if_else(pc.equal(kind, k), b.column("sc"), zero)
 
-            is_ca = pc.equal(kind, "ca")
+            # 'ca' and 'th' rows both carry call-site arg stats
+            is_ca = pc.is_in(kind, value_set=pa.array(["ca", "th"]))
             t = pa.table(
                 {
                     "skey": b.column("skey"),
@@ -359,6 +362,7 @@ def build_cpg(
                     "ty_c": cnt("ty"),
                     "ns_c": cnt("ns"),
                     "ca_c": cnt("ca"),
+                    "th_c": cnt("th"),
                     "sn": pc.if_else(
                         is_ca, b.column("sn"), pa.scalar(_SN_SENTINEL, pa.int64())
                     ),
@@ -390,6 +394,7 @@ def build_cpg(
                     "ty_c": b.column("ty_c").cast(pa.int64()),
                     "ns_c": b.column("ns_c").cast(pa.int64()),
                     "ca_c": b.column("ca_c").cast(pa.int64()),
+                    "th_c": b.column("th_c").cast(pa.int64()),
                     "s_min": b.column("sn").cast(pa.int64()),
                     "s_max": b.column("sx").cast(pa.int64()),
                 }
@@ -556,11 +561,21 @@ def build_cpg(
     else:
 
         def calls_proj():
+            from ..stages.link import hint_fact_rows
+
             def _f(batch: pa.Table) -> pa.Table:
                 m = pc.is_in(
                     batch.column("label"), value_set=pa.array(["CALL", "METHOD_REF"])
                 )
-                return batch.filter(m).select(["id", "label", "method_full_name"])
+                out = batch.filter(m).select(["id", "label", "method_full_name"])
+                # synthetic per-hint fact rows (XTypeHintCallLinker) ride
+                # the same salted join as ordinary calls
+                hr = hint_fact_rows(batch)
+                if hr.num_rows:
+                    out = pa.concat_tables(
+                        [out, hr.select(out.column_names)], promote_options="default"
+                    )
+                return out
 
             return nodes_plain().map_batches(_f, batch_format="pyarrow")
 
@@ -638,8 +653,12 @@ def build_cpg(
                         namespace_id,
                     )
                 )
+            # stubs: unresolved call fqns PLUS unmatched type hints
+            # (XTypeHintCallLinker's anti-join feeding MethodStubCreator,
+            # `XTypeHintCallLinker.scala:45-64,107-123`)
             keep = pc.and_(
-                pc.greater(b.column("ca_c"), 0), pc.equal(b.column("m_c"), 0)
+                pc.greater(pc.add(b.column("ca_c"), b.column("th_c")), 0),
+                pc.equal(b.column("m_c"), 0),
             )
             dk = _KEYSET_CACHE.get(dyn_keys_ref.hex())
             if dk is None:
@@ -658,10 +677,24 @@ def build_cpg(
                 return NODES_SCHEMA.empty_table()
             return pa.concat_tables(out)
 
+        # speculative-method namespace (reference
+        # `XTypeHintCallLinker.scala:166-183`): present iff any hint-only
+        # stub exists; the AST edges to it are emitted with the edge write
+        if _svds.count_rows(
+            filter=(_f("th_c") > 0) & (_f("m_c") == 0) & (_f("ca_c") == 0)
+        ):
+            meta_t = pa.concat_tables(
+                [
+                    meta_t,
+                    dim_nodes_batch(
+                        ["<speculatedMethods>"], "NAMESPACE", namespace_id
+                    ),
+                ]
+            )
         dims_ds = _rd.from_arrow(meta_t).union(
             _rd.read_parquet(
                 svagg_path,
-                columns=["skey", "m_c", "ty_c", "ns_c", "ca_c", "s_max"],
+                columns=["skey", "m_c", "ty_c", "ns_c", "ca_c", "th_c", "s_max"],
             ).map_batches(_dims_batch, batch_format="pyarrow")
         )
         import shutil as _shutil
@@ -696,6 +729,50 @@ def build_cpg(
             mapside_link_edges, batch_format="pyarrow"
         )
         final_edges = link_edges.union(mapside_edges)
+
+    # AST edges from <speculatedMethods> to hint-only stubs (reference
+    # `XTypeHintCallLinker.scala:166-183`) — a tiny map over the
+    # aggregated survey, unioned into the edge write
+    def _spec_ast(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        keep = pc.and_(
+            pc.and_(
+                pc.greater(b.column("th_c"), 0), pc.equal(b.column("m_c"), 0)
+            ),
+            pc.equal(b.column("ca_c"), 0),
+        )
+        dk = _KEYSET_CACHE.get(dyn_keys_ref.hex())
+        if dk is None:
+            dk = _ray.get(dyn_keys_ref)
+            _KEYSET_CACHE[dyn_keys_ref.hex()] = dk
+        if len(dk):
+            keep = pc.and_(
+                keep,
+                pc.invert(
+                    pc.is_in(b.column("skey").cast(pa.string()), value_set=dk)
+                ),
+            )
+        s = b.filter(keep)
+        fqns = [k for k in s.column("skey").to_pylist() if k]
+        if not fqns:
+            return EDGES_SCHEMA.empty_table()
+        ns_id = namespace_id("<speculatedMethods>")
+        return pa.table(
+            {
+                "subj": pa.array([ns_id] * len(fqns), pa.uint64()),
+                "pred": pa.array(["AST"] * len(fqns), pa.string()),
+                "obj": pa.array([stub_id(f) for f in sorted(fqns)], pa.uint64()),
+                "variable": pa.nulls(len(fqns), pa.string()),
+            },
+            schema=EDGES_SCHEMA,
+        )
+
+    final_edges = final_edges.union(
+        ray.data.read_parquet(
+            svagg_path, columns=["skey", "m_c", "ca_c", "th_c"]
+        ).map_batches(_spec_ast, batch_format="pyarrow")
+    )
 
     # edges write + MinHash equivalence run concurrently (independent)
     import threading

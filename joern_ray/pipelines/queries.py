@@ -69,7 +69,7 @@ def _cpg_paths(sf_dir: str) -> dict:
             ds = ds.map_batches(lambda b: b.select(columns), batch_format="pyarrow")
         return ds
 
-    return build_cpg(docs_factory, out, f"corpus-{n}-seed42-v2")
+    return build_cpg(docs_factory, out, f"corpus-{n}-seed42-v3")
 
 
 def cpg_node_counts(sf_dir: str) -> pa.Table:
@@ -193,6 +193,70 @@ def cpg_call_resolution(sf_dir: str) -> pa.Table:
                 ],
                 pa.int64(),
             ),
+        }
+    )
+
+
+def cpg_typehint_stats(sf_dir: str) -> pa.Table:
+    """XTypeHintCallLinker surface: calls carrying multi-hint lists, the
+    distinct hint fqns, and speculative stubs under <speculatedMethods>
+    (reference `XTypeHintCallLinker.scala:21-183`)."""
+    import ray.data
+
+    from ..stages.link import namespace_id
+
+    res = _cpg_paths(sf_dir)
+    nodes = ray.data.read_parquet(
+        res["nodes_path"], columns=["label", "dynamic_type_hint_full_name"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = b.column("dynamic_type_hint_full_name")
+        calls = b.filter(pc.and_(pc.equal(b.column("label"), "CALL"), h.is_valid()))
+        hints: list = sorted(
+            {x for hl in calls.column("dynamic_type_hint_full_name").to_pylist() for x in (hl or [])}
+        )
+        n = max(1, len(hints))
+        counts = [calls.num_rows] + [0] * (n - 1)
+        return pa.table(
+            {
+                "n_hint_calls": pa.array(counts, pa.int64()),
+                "hint": pa.array(hints or [""], pa.string()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(
+            nodes.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    n_calls = pc.sum(parts.column("n_hint_calls")).as_py() or 0
+    n_hints = len(
+        {h for h in parts.column("hint").to_pylist() if h}
+    )
+    edges = ray.data.read_parquet(res["edges_path"], columns=["subj", "pred"])
+    ns = namespace_id("<speculatedMethods>")
+
+    def spec(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(b.column("pred"), "AST"),
+            pc.equal(b.column("subj"), pa.scalar(ns, pa.uint64())),
+        )
+        return pa.table({"n": pa.array([int(pc.sum(m).as_py() or 0)], pa.int64())})
+
+    sp = pa.concat_tables(
+        list(edges.map_batches(spec, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    )
+    n_spec = pc.sum(sp.column("n")).as_py() or 0
+    return pa.table(
+        {
+            "kind": pa.array(
+                ["multi_hint_calls", "distinct_hints", "speculative_stubs"],
+                pa.string(),
+            ),
+            "n": pa.array([n_calls, n_hints, n_spec], pa.int64()),
         }
     )
 
@@ -470,7 +534,7 @@ def _raw_fragments_ds(sf_dir: str):
             batch_format="pyarrow",
         )
 
-    return checkpoint(factory, path, "fragments", f"corpus-{n}-seed42-v2")
+    return checkpoint(factory, path, "fragments", f"corpus-{n}-seed42-v3")
 
 
 def _fragments_ds(sf_dir: str):

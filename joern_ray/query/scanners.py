@@ -249,6 +249,210 @@ def q_atoi_unchecked(cpg: Cpg) -> pa.Table:
     return _findings(t, "unchecked-atoi", "unchecked numeric conversion")
 
 
+def q_copy_loop(cpg: Cpg) -> pa.Table:
+    """`c/CopyLoops.scala:15-39` — index-based copy inside a loop with no
+    visible bound on the destination: assignment `a[i] = b[i]` whose AST
+    ancestors include a for/while control structure."""
+    assigns = cpg.call().name_exact("<operator>.assignment").code(
+        r".*\w+\[\w+\]\s*=\s*\w+\[.*"
+    )
+    t = assigns.l(["id", "url", "line", "code"])
+    if not t.num_rows:
+        return _findings(t, "copy-loop", "")
+    loops = assigns.in_ast().where_label("CONTROL_STRUCTURE").code(
+        r"\s*(for|while)\b.*"
+    )
+    loop_urls = set(loops.l(["url"]).column("url").to_pylist())
+    keep = pc.is_in(t.column("url"), value_set=pa.array(sorted(loop_urls) or [""]))
+    return _findings(t.filter(keep), "copy-loop", "unbounded index copy in loop")
+
+
+def q_strlen_truncation(cpg: Cpg) -> pa.Table:
+    """`c/IntegerTruncations.scala:16-38` — strlen (size_t) assigned to a
+    narrow int variable.  Declaration initializers lower to `n = strlen(s)`
+    (no type in the assignment code), so the variable's LOCAL
+    type_full_name carries the truncation evidence — same evidence the
+    reference reads off `local.typeFullName`."""
+    import re
+
+    assigns = (
+        cpg.call()
+        .name_exact("<operator>.assignment")
+        .code(r".*\w+\s*=\s*strlen\s*\(.*")
+        .l(["url", "line", "code"])
+    )
+    if not assigns.num_rows:
+        return _findings(assigns.append_column("code2", pa.array([], pa.string())).drop(["code2"]), "strlen-truncation", "")
+    locs = cpg.local().l(["url", "name", "type_full_name"])
+    narrow = {
+        (u, n)
+        for u, n, t in zip(
+            locs.column("url").to_pylist(),
+            locs.column("name").to_pylist(),
+            locs.column("type_full_name").to_pylist(),
+        )
+        if t in ("int", "short", "unsigned int", "unsigned short", "char")
+    }
+    keep = []
+    for i, (u, c) in enumerate(
+        zip(assigns.column("url").to_pylist(), assigns.column("code").to_pylist())
+    ):
+        m = re.match(r"\s*(\w+)\s*=", c or "")
+        if m and (u, m.group(1)) in narrow:
+            keep.append(i)
+    t = assigns.take(keep) if keep else assigns.slice(0, 0)
+    return _findings(t, "strlen-truncation", "strlen result truncated to int")
+
+
+def q_signed_shift(cpg: Cpg) -> pa.Table:
+    """`c/SignedLeftShift.scala:14-36` — left shift of a negative signed
+    value is undefined behavior."""
+    sh = cpg.call().name_exact("<operator>.shiftLeft")
+    args = sh.argument().l(["label", "name", "code", "url", "line"])
+    # a negative operand appears either as a literal "-1" or as the
+    # unary-minus operator call wrapping a literal (C tokenization)
+    neg = args.filter(
+        pc.or_(
+            pc.and_(
+                pc.equal(args.column("label"), "LITERAL"),
+                pc.match_substring_regex(
+                    pc.coalesce(args.column("code"), pa.scalar("")), r"^-\d"
+                ),
+            ),
+            pc.equal(
+                pc.coalesce(args.column("name"), pa.scalar("")), "<operator>.minus"
+            ),
+        )
+    )
+    return _findings(neg, "signed-left-shift", "left shift of negative value")
+
+
+_RETVAL_FNS = ("read", "write", "recv", "send", "realloc", "setuid", "setgid")
+
+
+def q_retval_unchecked(cpg: Cpg) -> pa.Table:
+    """`c/RetvalChecks.scala:14-44` — return value of read/write/realloc/
+    setuid discarded (the call is a bare statement: its AST parent is a
+    BLOCK)."""
+    calls = cpg.call("^(" + "|".join(_RETVAL_FNS) + ")$")
+    t = calls.l(["id", "url", "line", "code"])
+    if not t.num_rows:
+        return _findings(t, "retval-unchecked", "")
+    parents = calls.ast_parent().l(["id", "label"])
+    block_ids = set(
+        parents.filter(pc.equal(parents.column("label"), "BLOCK")).column("id").to_pylist()
+    )
+    # discarded = call whose parent is a BLOCK; probe via the edges table
+    edges = cpg.edges_ds()
+    call_ids = pa.array(t.column("id").to_pylist(), pa.uint64())
+    blk = pa.array(sorted(block_ids) or [0], pa.uint64())
+
+    def probe(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(b.column("pred"), "AST"),
+            pc.and_(
+                pc.is_in(b.column("subj"), value_set=blk),
+                pc.is_in(b.column("obj"), value_set=call_ids),
+            ),
+        )
+        return pa.table({"obj": b.filter(m).column("obj")})
+
+    bare: set[int] = set()
+    for b in edges.map_batches(probe, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        bare.update(b.column("obj").to_pylist())
+    hit = t.filter(
+        pc.is_in(t.column("id"), value_set=pa.array(sorted(bare) or [0], pa.uint64()))
+    )
+    return _findings(hit, "retval-unchecked", "discarded return value")
+
+
+def q_toctou(cpg: Cpg) -> pa.Table:
+    """`c/FileOpRace.scala:14-36` — access() check followed by open() in
+    the same method (time-of-check/time-of-use race)."""
+    acc = cpg.call("^access$")
+    acc_methods = set(
+        acc.in_ast().where_label("METHOD").l(["id"]).column("id").to_pylist()
+    )
+    opn = cpg.call("^(open|fopen)$")
+    opn_methods = set(
+        opn.in_ast().where_label("METHOD").l(["id"]).column("id").to_pylist()
+    )
+    both = acc_methods & opn_methods
+    if not both:
+        return _findings(
+            pa.table({"url": pa.array([], pa.string()), "line": pa.array([], pa.int32()), "code": pa.array([], pa.string())}),
+            "toctou-race", "",
+        )
+    t = acc.l(["url", "line", "code"])
+    return _findings(t, "toctou-race", "access() check races the later open()")
+
+
+def q_socket_any_bind(cpg: Cpg) -> pa.Table:
+    """`c/SocketApi.scala:14-38` — bind on INADDR_ANY / 0.0.0.0 exposes
+    the service on every interface."""
+    t = cpg.call("^bind$").code(r".*(INADDR_ANY|0\.0\.0\.0).*").l(["url", "line", "code"])
+    return _findings(t, "bind-any-interface", "socket bound to all interfaces")
+
+
+def q_getruntime_exec(cpg: Cpg) -> pa.Table:
+    """`java/DangerousFunctions.scala` getRuntimeExec — Runtime.exec of a
+    dynamic command."""
+    t = cpg.call().code(r".*getRuntime\s*\(\s*\)\s*\.\s*exec.*").l(
+        ["url", "line", "code"]
+    )
+    return _findings(t, "runtime-exec", "Runtime.getRuntime().exec")
+
+
+def q_weak_cipher_mode(cpg: Cpg) -> pa.Table:
+    """`java/CryptographyMisuse.scala:15-57` — Cipher.getInstance with a
+    broken primitive/mode (DES, RC4, ECB)."""
+    t = cpg.call("^getInstance$").code(r".*(DES|RC4|ECB).*").l(["url", "line", "code"])
+    return _findings(t, "weak-cipher-mode", "weak cipher/mode requested")
+
+
+def q_trust_all_cert(cpg: Cpg) -> pa.Table:
+    """`java/CertificateChecks.scala:14-46` — overriding
+    checkServerTrusted/checkClientTrusted (trust-all TrustManager)."""
+    t = cpg.method("^(checkServerTrusted|checkClientTrusted)$").l(
+        ["url", "line", "code"]
+    )
+    return _findings(t, "trust-all-certs", "certificate check override")
+
+
+def q_py_pickle(cpg: Cpg) -> pa.Table:
+    """python deserialization of untrusted data (querydb android/java
+    `UnsafeDeserialization` shape on the python frontend)."""
+    t = cpg.call("^loads$").code(r".*pickle\s*\.\s*loads\s*\(.*").l(
+        ["url", "line", "code"]
+    )
+    return _findings(t, "py-pickle-load", "pickle.loads of untrusted data")
+
+
+def q_js_document_write(cpg: Cpg) -> pa.Table:
+    """`java/CrossSiteScripting.scala` sink shape on the JS frontend:
+    document.write of dynamic input."""
+    t = cpg.call("^write$").code(r".*document\s*\.\s*write\s*\(.*").l(
+        ["url", "line", "code"]
+    )
+    return _findings(t, "js-document-write", "document.write sink")
+
+
+def q_memcpy_dynamic_size(cpg: Cpg) -> pa.Table:
+    """`c/HeapBasedOverflow.scala:14-40` / `MissingLengthCheck.scala` —
+    memcpy whose size argument is not a literal (no visible bound)."""
+    calls = cpg.call("^memcpy$")
+    args = calls.argument().l(["label", "argument_index", "url", "line", "code"])
+    dyn = args.filter(
+        pc.and_(
+            pc.equal(args.column("argument_index"), 3),
+            pc.invert(pc.equal(args.column("label"), "LITERAL")),
+        )
+    )
+    return _findings(dyn, "memcpy-dynamic-size", "memcpy with unbounded size")
+
+
 BUNDLE: tuple[Query, ...] = (
     Query(
         "call-to-gets", "Dangerous function gets()", 8.0, q_gets, ("c", "cwe-242"),
@@ -345,6 +549,106 @@ BUNDLE: tuple[Query, ...] = (
         ),
     ),
     Query("empty-catch", "swallowed exception", 3.0, q_empty_catch, ("java",)),
+    Query(
+        "copy-loop", "index copy loop without bound", 6.0, q_copy_loop,
+        ("c", "cwe-120"),
+        CodeExamples(
+            "void cp(char *d, char *s, int n) {\n  for (int i = 0; i < n; i++) {\n    d[i] = s[i];\n  }\n}\n",
+            "void cp_ok(char *d, char *s) {\n  d[0] = s[0];\n}\n",
+        ),
+    ),
+    Query(
+        "strlen-truncation", "strlen into int", 5.0, q_strlen_truncation,
+        ("c", "cwe-197"),
+        CodeExamples(
+            "int sz(char *s) {\n  int n = strlen(s);\n  return n;\n}\n",
+            "long sz_ok(char *s) {\n  long n = strlen(s);\n  return n;\n}\n",
+        ),
+    ),
+    Query(
+        "signed-left-shift", "negative left shift (UB)", 6.0, q_signed_shift,
+        ("c", "cwe-758"),
+        CodeExamples(
+            "int mask(int x) {\n  return -1 << x;\n}\n",
+            "unsigned mask_ok(unsigned x) {\n  return 1 << x;\n}\n",
+        ),
+    ),
+    Query(
+        "retval-unchecked", "discarded return value", 4.0, q_retval_unchecked,
+        ("c", "cwe-252"),
+        CodeExamples(
+            "void rd(int fd, char *b) {\n  read(fd, b, 8);\n}\n",
+            "int rd_ok(int fd, char *b) {\n  int n = read(fd, b, 8);\n  return n;\n}\n",
+        ),
+    ),
+    Query(
+        "toctou-race", "access/open race", 7.0, q_toctou, ("c", "cwe-367"),
+        CodeExamples(
+            "int chk(char *p) {\n  if (access(p, 0) == 0) {\n    int fd = open(p, 0);\n    return fd;\n  }\n  return -1;\n}\n",
+            "int chk_ok(char *p) {\n  int fd = open(p, 0);\n  return fd;\n}\n",
+        ),
+    ),
+    Query(
+        "bind-any-interface", "bind to INADDR_ANY", 4.0, q_socket_any_bind,
+        ("c", "cwe-1327"),
+        CodeExamples(
+            "int srv(int s) {\n  return bind(s, INADDR_ANY, 16);\n}\n",
+            "int srv_ok(int s, char *a) {\n  return bind(s, a, 16);\n}\n",
+        ),
+    ),
+    Query(
+        "runtime-exec", "Runtime.getRuntime().exec", 8.0, q_getruntime_exec,
+        ("java", "cwe-78"),
+        CodeExamples(
+            "public class R {\n  public int go(String cmd) {\n    int r = getRuntime().exec(cmd);\n    return r;\n  }\n}\n",
+            "public class ROk {\n  public int go(String cmd) {\n    int r = log(cmd);\n    return r;\n  }\n}\n",
+            "java",
+        ),
+    ),
+    Query(
+        "weak-cipher-mode", "DES/RC4/ECB cipher", 6.0, q_weak_cipher_mode,
+        ("java", "cwe-327"),
+        CodeExamples(
+            'public class C {\n  public int enc() {\n    int c = getInstance("DES");\n    return c;\n  }\n}\n',
+            'public class COk {\n  public int enc() {\n    int c = getInstance("AES");\n    return c;\n  }\n}\n',
+            "java",
+        ),
+    ),
+    Query(
+        "trust-all-certs", "trust-all TrustManager", 8.0, q_trust_all_cert,
+        ("java", "cwe-295"),
+        CodeExamples(
+            "public class T {\n  public void checkServerTrusted(String c, String a) {\n    return;\n  }\n}\n",
+            "public class TOk {\n  public void verifyPin(String c) {\n    return;\n  }\n}\n",
+            "java",
+        ),
+    ),
+    Query(
+        "py-pickle-load", "pickle.loads of input", 7.0, q_py_pickle,
+        ("python", "cwe-502"),
+        CodeExamples(
+            "def load(data):\n    return pickle.loads(data)\n",
+            "def load_ok(data):\n    return json.loads(data)\n",
+            "python",
+        ),
+    ),
+    Query(
+        "js-document-write", "document.write sink", 5.0, q_js_document_write,
+        ("javascript", "cwe-79"),
+        CodeExamples(
+            "function show(input) {\n  document.write(input);\n  return 1;\n}\n",
+            "function show_ok(input) {\n  console.log(input);\n  return 1;\n}\n",
+            "javascript",
+        ),
+    ),
+    Query(
+        "memcpy-dynamic-size", "memcpy unbounded size", 5.0, q_memcpy_dynamic_size,
+        ("c", "cwe-120"),
+        CodeExamples(
+            "void cp(char *d, char *s, int n) {\n  memcpy(d, s, n);\n}\n",
+            "void cp_ok(char *d, char *s) {\n  memcpy(d, s, 16);\n}\n",
+        ),
+    ),
 )
 
 

@@ -58,6 +58,12 @@ NODES_SCHEMA = pa.schema(
         pa.field("dispatch_type", pa.string()),
         pa.field("method_full_name", pa.string()),
         pa.field("type_full_name", pa.string()),
+        # multi-valued recovered-type hints on unresolved dynamic CALLs
+        # (reference property DYNAMIC_TYPE_HINT_FULL_NAME, consumed by
+        # `XTypeHintCallLinker.scala:21-120`); single-hint calls resolve
+        # at parse time (setCallees semantics, :95-101) so only ambiguous
+        # multi-hint calls carry a list here
+        pa.field("dynamic_type_hint_full_name", pa.list_(pa.string())),
         pa.field("line", pa.int32()),
         pa.field("col", pa.int32()),
         pa.field("url", pa.string()),

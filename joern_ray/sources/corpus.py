@@ -194,8 +194,26 @@ def _f13_py_class(r: random.Random) -> str:
     )
 
 
-# (template fn, lang, weight) — language mix: C 36 %, JS 25 %, Java 17 %,
-# Python 13 % (round 2: pysrc2cpg-analog frontend), C++ 9 %.
+def _f14_py_client(r: random.Random) -> str:
+    """Uses Handler/RetryHandler classes DEFINED IN OTHER DOCUMENTS
+    (template _f13): the receiver type is recovered by the parse-time
+    symbol table as a dynamic type HINT (XTypeRecovery), the first call
+    resolves single-hint, the reassigned receiver's second call carries
+    a multi-hint list through XTypeHintCallLinker."""
+    k = r.randint(0, 99)
+    k2 = r.randint(0, 99)
+    return (
+        f"def client_{r.randint(0, 199)}(n: int) -> int:\n"
+        f"    h = Handler{k}()\n"
+        "    v = h.handle(n)\n"
+        f"    h = RetryHandler{k2}()\n"
+        "    return h.handle(v)\n"
+    )
+
+
+# (template fn, lang, weight) — language mix: C 35 %, JS 25 %, Java 17 %,
+# Python 16 % (round 2: pysrc2cpg-analog frontend; round 3: type-hint
+# client template), C++ 9 %.
 _TEMPLATES: list[tuple] = [
     (_f1_c_call, "c", 8),
     (_f2_c_def, "c", 4),
@@ -209,6 +227,7 @@ _TEMPLATES: list[tuple] = [
     (_f6_java, "java", 19),
     (_f12_py_def, "python", 8),
     (_f13_py_class, "python", 7),
+    (_f14_py_client, "python", 5),
     (_f10_cpp, "cpp", 10),
     (_f11_json, "json", 4),
 ]

@@ -658,6 +658,57 @@ def unresolved_stub_dimension(calls_ds, index_table: pa.Table) -> pa.Table:
     )
 
 
+_HINT_FACT_SCHEMA = pa.schema(
+    [
+        pa.field("id", pa.uint64()),
+        pa.field("label", pa.string()),
+        pa.field("method_full_name", pa.string()),
+    ]
+)
+
+
+def hint_fact_rows(batch: pa.Table) -> pa.Table:
+    """Explode multi-hint CALL rows into synthetic call-fact rows
+    (id = call id, label = CALL, method_full_name = hint fqn).
+
+    This is XTypeHintCallLinker's explode→join→anti-join
+    (`XTypeHintCallLinker.scala:38-79`) expressed as EXTRA ROWS through
+    the unchanged call-resolution machinery: in the broadcast regime the
+    rows run through CallLinker (index hit → CALL edge to the method,
+    miss → CALL edge to the deterministic stub id); in the salted-shuffle
+    regime they are additional fact rows in the same join.  Hints are
+    rare (only ambiguous multi-typed receivers), so the python loop over
+    list cells is off the hot path."""
+    if "dynamic_type_hint_full_name" not in batch.column_names:
+        return _HINT_FACT_SCHEMA.empty_table()
+    hcol = batch.column("dynamic_type_hint_full_name")
+    if hcol.null_count == len(hcol):
+        return _HINT_FACT_SCHEMA.empty_table()
+    rows = batch.filter(
+        pc.and_(pc.equal(batch.column("label"), "CALL"), hcol.is_valid())
+    )
+    if rows.num_rows == 0:
+        return _HINT_FACT_SCHEMA.empty_table()
+    ids: list[int] = []
+    fqns: list[str] = []
+    for nid, hl in zip(
+        rows.column("id").to_pylist(),
+        rows.column("dynamic_type_hint_full_name").to_pylist(),
+    ):
+        for h in hl or []:
+            if h:
+                ids.append(nid)
+                fqns.append(h)
+    return pa.table(
+        {
+            "id": pa.array(ids, pa.uint64()),
+            "label": pa.array(["CALL"] * len(ids), pa.string()),
+            "method_full_name": pa.array(fqns, pa.string()),
+        },
+        schema=_HINT_FACT_SCHEMA,
+    )
+
+
 class CombinedLinker(CallLinker):
     """Fused per-batch linker: CALL/METHOD_REF resolution (CallLinker)
     + all map-side dimension links (mapside_link_edges) in ONE scan of
@@ -673,6 +724,14 @@ class CombinedLinker(CallLinker):
         calls = batch.filter(
             pc.is_in(batch.column("label"), value_set=pa.array(["CALL", "METHOD_REF"]))
         )
+        # multi-hint calls contribute one synthetic fact row per hint
+        # (XTypeHintCallLinker; same rows the shuffle regime joins on)
+        hint_rows = hint_fact_rows(batch)
+        if hint_rows.num_rows:
+            calls = pa.concat_tables(
+                [calls.select(_HINT_FACT_SCHEMA.names), hint_rows],
+                promote_options="default",
+            )
         call_edges = (
             CallLinker.__call__(self, calls)
             if calls.num_rows

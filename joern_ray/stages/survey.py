@@ -53,6 +53,7 @@ def survey_partial(batch: pa.Table, edges: "pa.Table | None" = None) -> pa.Table
     labels = batch.column("label")
     # per-call-fqn min/max ARGUMENT counts (from this batch's edges)
     mm: dict[str, list[int]] = {}
+    n_by_subj: dict[int, int] = {}
     if edges is not None and edges.num_rows:
         argvc = (
             edges.filter(pc.equal(edges.column("pred"), "ARGUMENT"))
@@ -132,6 +133,31 @@ def survey_partial(batch: pa.Table, edges: "pa.Table | None" = None) -> pa.Table
         if v:
             lo, hi = mm.get(v, (0, 0))
             emit("ca", v, c, lo, hi)
+    # 'th': recovered-type hint fqns on ambiguous multi-hint CALLs
+    # (XTypeHintCallLinker input; unmatched hints become METHOD stubs
+    # under <speculatedMethods>, `XTypeHintCallLinker.scala:107-123`)
+    if "dynamic_type_hint_full_name" in batch.column_names:
+        hcol = batch.column("dynamic_type_hint_full_name")
+        if hcol.null_count < len(hcol):
+            hrows = batch.filter(pc.and_(pc.equal(labels, "CALL"), hcol.is_valid()))
+            hmm: dict[str, list[int]] = {}
+            for nid, hl in zip(
+                hrows.column("id").to_pylist(),
+                hrows.column("dynamic_type_hint_full_name").to_pylist(),
+            ):
+                n = int(n_by_subj.get(nid, 0))
+                for h in hl or []:
+                    cur = hmm.get(h)
+                    if cur is None:
+                        hmm[h] = [1, n, n]
+                    else:
+                        cur[0] += 1
+                        if n < cur[1]:
+                            cur[1] = n
+                        if n > cur[2]:
+                            cur[2] = n
+            for h, (c, lo, hi) in sorted(hmm.items()):
+                emit("th", h, c, lo, hi)
     return pa.table(
         {
             "kind": pa.array(ks, pa.string()),
