@@ -87,7 +87,12 @@ class DotExporter:
     (reference `JoernExport` representations: ast|cfg|ddg|cdg|pdg)."""
 
     def __init__(self, repr_: str = "ast") -> None:
+        from ..parsing.gofrontend import GoFragmentParser
+        from ..parsing.pyfrontend import PyFragmentParser
+
         self.parsers = {d: FragmentParser(d) for d in ("c", "cpp", "java", "javascript")}
+        self.parsers["python"] = PyFragmentParser()
+        self.parsers["go"] = GoFragmentParser()
         self.repr = repr_
 
     def __call__(self, batch: pa.Table) -> pa.Table:

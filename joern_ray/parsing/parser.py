@@ -1364,6 +1364,18 @@ class FragmentParser:
         self._expect(")")
         return args
 
+    def _member_call_fqn(self, node: PNode, fname: str) -> str:
+        """Qualified name for `base.m(...)` — overridable per dialect
+        (the Go frontend qualifies package selectors)."""
+        recv_type = ""
+        if node.code == "this" and self.class_name_stack:
+            recv_type = self.class_name_stack[-1]
+        elif node.type_full_name and not any(
+            ch in node.type_full_name for ch in "*&<[;"
+        ):
+            recv_type = node.type_full_name
+        return f"{recv_type}.{fname}" if recv_type else fname
+
     def _parse_postfix(self) -> PNode:
         start = self.i
         node = self._parse_primary()
@@ -1416,16 +1428,7 @@ class FragmentParser:
                     # is known (typed local/param, or `this` inside a
                     # class) the call carries the QUALIFIED name T.m so
                     # linking and SAFEDISPATCH candidates work
-                    recv_type = ""
-                    if node.code == "this" and self.class_name_stack:
-                        recv_type = self.class_name_stack[-1]
-                    elif node.type_full_name and not any(
-                        ch in node.type_full_name for ch in "*&<[;"
-                    ):
-                        recv_type = node.type_full_name
-                    mfn = (
-                        f"{recv_type}.{fname_tok.text}" if recv_type else fname_tok.text
-                    )
+                    mfn = self._member_call_fqn(node, fname_tok.text)
                     args = self._parse_call_args()
                     call = self._new(
                         "CALL",

@@ -80,6 +80,7 @@ def edges_paths(out_dir: str) -> list[str]:
         [
             os.path.join(out_dir, "edges"),
             os.path.join(out_dir, "parse", "row_kind=edge"),
+            os.path.join(out_dir, "edges_spec"),
         ]
     )
 
@@ -732,7 +733,10 @@ def build_cpg(
 
     # AST edges from <speculatedMethods> to hint-only stubs (reference
     # `XTypeHintCallLinker.scala:166-183`) — a tiny map over the
-    # aggregated survey, unioned into the edge write
+    # aggregated survey written to its OWN edges root (edges_spec).
+    # NEVER union this into the main edge stream: a Dataset.union —
+    # even with an empty side — breaks streaming fusion of the link
+    # scan (measured 74s -> 137s materialize at 8 CPUs).
     def _spec_ast(b: pa.Table) -> pa.Table:
         import ray as _ray
 
@@ -768,11 +772,15 @@ def build_cpg(
             schema=EDGES_SCHEMA,
         )
 
-    final_edges = final_edges.union(
+    def _write_spec_edges():
+        import shutil as _shutil
+
+        spec_path = os.path.join(out_dir, "edges_spec")
+        if os.path.isdir(spec_path):
+            _shutil.rmtree(spec_path)
         ray.data.read_parquet(
             svagg_path, columns=["skey", "m_c", "ca_c", "th_c"]
-        ).map_batches(_spec_ast, batch_format="pyarrow")
-    )
+        ).map_batches(_spec_ast, batch_format="pyarrow").write_parquet(spec_path)
 
     # edges write + MinHash equivalence run concurrently (independent)
     import threading
@@ -798,6 +806,7 @@ def build_cpg(
 
     def _w(ds_, path_, name_):
         try:
+            _tw = time.perf_counter()
             # partitioned write (hash by subj, per-partition manifests).
             # A streaming write_parquet (no materialize/shuffle) was
             # measured as the alternative at 600k docs: faster at 8 CPUs
@@ -806,6 +815,12 @@ def build_cpg(
             # when CPUs are scarce); the partitioned layout also keeps
             # partition-level resume, so it stays the default.
             partitioned_write(ds_, path_, name_, parse_fp, num_partitions)
+            if _prof:
+                print(
+                    f"[build_cpg] thread:{name_}: {time.perf_counter() - _tw:.2f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
         except BaseException as e:  # noqa: BLE001
             errs.append(e)
 
@@ -815,6 +830,7 @@ def build_cpg(
     # workers — observed at 4 CPUs); the dims execution is small (one
     # groupby over distinct FQNs), so serializing costs little.
     _build_dims()
+    _write_spec_edges()
     _mark("dims")
     t2 = threading.Thread(target=_w, args=(final_edges, edges_path, "edges"))
     t2.start()
@@ -831,6 +847,7 @@ def build_cpg(
 
     def _equiv():
         try:
+            _te = time.perf_counter()
             from ..stages.dedup import minhash_dedup
 
             def methods_code(batch: pa.Table) -> pa.Table:
@@ -885,6 +902,12 @@ def build_cpg(
             os.makedirs(equiv_path, exist_ok=True)  # empty result edge case
             m = write_manifest(equiv_path, "equivalences", parse_fp, 0.0)
             eq_box[0] = m["rows"]
+            if _prof:
+                print(
+                    f"[build_cpg] thread:equiv: {time.perf_counter() - _te:.2f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
         except BaseException as e:  # noqa: BLE001
             errs.append(e)
 

@@ -143,6 +143,156 @@ class NodeSteps:
 
         return NodeSteps(self.cpg, sibs.ds.map_batches(drop_self, batch_format="pyarrow"))
 
+    def _edge_pairs(self, pred: str, src_ids: set) -> list:
+        """(subj, obj) pairs of `pred` edges whose subj is in src_ids —
+        one streamed is_in-filtered scan."""
+        if not src_ids:
+            return []
+        sarr = pa.array(list(src_ids), pa.uint64())
+
+        def pick(batch: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.equal(batch.column("pred"), pred),
+                pc.is_in(batch.column("subj"), value_set=sarr),
+            )
+            f = batch.filter(m)
+            return pa.table({"subj": f.column("subj"), "obj": f.column("obj")})
+
+        pairs: list = []
+        for b in (
+            self.cpg.edges_ds()
+            .map_batches(pick, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            pairs.extend(zip(b.column("subj").to_pylist(), b.column("obj").to_pylist()))
+        return pairs
+
+    def ast(self, max_depth: int = 32) -> "NodeSteps":
+        """Transitive AST subtree INCLUDING the roots (reference
+        `AstNodeTraversal.ast`)."""
+        seen = self._ids()
+        frontier = set(seen)
+        for _ in range(max_depth):
+            nxt = {o for _s, o in self._edge_pairs("AST", frontier)} - seen
+            if not nxt:
+                break
+            seen |= nxt
+            frontier = nxt
+        arr = pa.array(list(seen) or [0], pa.uint64())
+
+        def pick(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column("id"), value_set=arr))
+
+        return NodeSteps(self.cpg, self.cpg.nodes_ds().map_batches(pick, batch_format="pyarrow"))
+
+    def ast_minus_root(self, max_depth: int = 32) -> "NodeSteps":
+        """Strict AST descendants (reference
+        `AstNodeTraversal.astMinusRoot`)."""
+        roots = self._ids()
+        sub = self.ast(max_depth)
+        rarr = pa.array(list(roots) or [0], pa.uint64())
+
+        def drop_roots(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.invert(pc.is_in(batch.column("id"), value_set=rarr))
+            )
+
+        return NodeSteps(self.cpg, sub.ds.map_batches(drop_roots, batch_format="pyarrow"))
+
+    def depth(self, max_depth: int = 64) -> pa.Table:
+        """(id, depth) — longest AST path under each node, leaf = 1
+        (reference `AstNodeTraversal.depth`).  BFS level expansion with
+        per-root attribution via a child->root map."""
+        roots = self._ids()
+        root_of: dict[int, set] = {r: {r} for r in roots}
+        depths = {r: 1 for r in roots}
+        frontier = dict(root_of)
+        level = 1
+        while frontier and level < max_depth:
+            pairs = self._edge_pairs("AST", set(frontier))
+            level += 1
+            nxt: dict[int, set] = {}
+            for s, o in pairs:
+                owners = frontier.get(s, set())
+                if owners:
+                    nxt.setdefault(o, set()).update(owners)
+            for _child, owners in nxt.items():
+                for r in owners:
+                    depths[r] = level
+            frontier = nxt
+        ids = sorted(roots)
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.uint64()),
+                "depth": pa.array([depths[i] for i in ids], pa.int32()),
+            }
+        )
+
+    def is_call_to(self, regex: str) -> "NodeSteps":
+        """Nodes in this set that ARE calls to callees matching `regex`
+        (reference `AstNodeTraversal.isCallTo`)."""
+        return self.where_label("CALL").name(regex)
+
+    def contains_call_to(self, regex: str, max_depth: int = 32) -> "NodeSteps":
+        """Nodes whose AST subtree contains a call to `regex` (reference
+        `AstNodeTraversal.containsCallTo`)."""
+        roots = self._ids()
+        if not roots:
+            return NodeSteps(self.cpg, self.ds)
+        matching = set()
+        # walk down level by level, tracking owning roots
+        frontier: dict[int, set] = {r: {r} for r in roots}
+        import re as _re
+
+        pat = _re.compile(f"^(?:{regex})$")
+        # check the roots themselves
+        for b in self.ds.iter_batches(batch_format="pyarrow"):
+            for nid, lab, nm in zip(
+                b.column("id").to_pylist(),
+                b.column("label").to_pylist(),
+                b.column("name").to_pylist(),
+            ):
+                if lab == "CALL" and nm and pat.fullmatch(nm):
+                    matching.add(nid)
+        for _ in range(max_depth):
+            pairs = self._edge_pairs("AST", set(frontier))
+            if not pairs:
+                break
+            child_ids = {o for _s, o in pairs}
+            carr = pa.array(list(child_ids), pa.uint64())
+
+            def pick(batch: pa.Table) -> pa.Table:
+                m = pc.and_(
+                    pc.is_in(batch.column("id"), value_set=carr),
+                    pc.equal(batch.column("label"), "CALL"),
+                )
+                f = batch.filter(m)
+                return pa.table({"id": f.column("id"), "name": f.column("name")})
+
+            call_children = set()
+            for b in (
+                self.cpg.nodes_ds()
+                .map_batches(pick, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+            ):
+                for nid, nm in zip(b.column("id").to_pylist(), b.column("name").to_pylist()):
+                    if nm and pat.fullmatch(nm):
+                        call_children.add(nid)
+            nxt: dict[int, set] = {}
+            for s, o in pairs:
+                owners = frontier.get(s, set())
+                if owners:
+                    nxt.setdefault(o, set()).update(owners)
+                    if o in call_children:
+                        matching.update(owners)
+            frontier = nxt
+        arr = pa.array(list(matching) or [0], pa.uint64())
+
+        def pick_roots(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column("id"), value_set=arr))
+
+        return NodeSteps(self.cpg, self.ds.map_batches(pick_roots, batch_format="pyarrow"))
+
     def in_ast(self, max_depth: int = 32) -> "NodeSteps":
         """Transitive AST ancestors (reference `AstNodeTraversal.inAst`):
         repeated parent hops, union of every level."""

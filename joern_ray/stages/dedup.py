@@ -362,12 +362,12 @@ def minhash_dedup(
     from ..util import bucketed_group_agg
 
     # ---- level 1: exact content collapse ------------------------------
+    # polars-vectorized content hash (same convention as exact_dedup) —
+    # a per-row python hash64 loop here was ~2x the whole level-1 cost
+    # at 600k docs (it ran over EVERY member text, twice)
     def chash_proj(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        ch = np.array([hash64(t or "") for t in texts], dtype=np.uint64)
-        return pa.table(
-            {id_col: batch.column(id_col), "chash": pa.array(ch, pa.uint64())}
-        )
+        b = add_content_hash(batch, text_col, "chash")
+        return b.select([id_col, "chash"])
 
     m1 = ds.map_batches(chash_proj, batch_format="pyarrow").materialize()
     n_rows = m1.count()
@@ -446,8 +446,13 @@ def minhash_dedup(
             """Keep exactly one row per distinct content: dup-map miss
             (unique content) or the min-id member of a dup group."""
             sk, sv = _dup_arrays()
-            texts = batch.column(text_col).to_pylist()
-            ch = np.array([hash64(t or "") for t in texts], dtype=np.uint64)
+            ch = (
+                add_content_hash(batch, text_col, "__ch")
+                .column("__ch")
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
             ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
             if len(sk):
                 pos = np.minimum(np.searchsorted(sk, ch), len(sk) - 1)

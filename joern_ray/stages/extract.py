@@ -129,6 +129,8 @@ _LANG_ALIASES = {
     "python": "python",
     "py": "python",
     "python3": "python",
+    "go": "go",
+    "golang": "go",
 }
 
 

@@ -184,12 +184,14 @@ class ParseFragments:
     _SUBST_COLS = ("full_name", "method_full_name", "type_full_name")
 
     def __init__(self, cache_size: int = 4096, with_overlays: bool = True) -> None:
+        from ..parsing.gofrontend import GoFragmentParser
         from ..parsing.pyfrontend import PyFragmentParser
 
         self.parsers = {
             d: FragmentParser(d) for d in ("c", "cpp", "java", "javascript")
         }
         self.parsers["python"] = PyFragmentParser()
+        self.parsers["go"] = GoFragmentParser()
         self.cache: OrderedDict[tuple[int, str], dict] = OrderedDict()
         self.cache_size = cache_size
         self.with_overlays = with_overlays

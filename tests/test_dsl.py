@@ -113,3 +113,34 @@ def test_call_return_type_recovery(cpg, ray_session):
     ev = edges.filter(pc.equal(edges.column("pred"), "EVAL_TYPE"))
     pairs = set(zip(ev.column("subj").to_pylist(), ev.column("obj").to_pylist()))
     assert any((cid, type_id("int")) in pairs for cid in call_ids)
+
+
+def test_ast_and_ast_minus_root(cpg):
+    """`AstNodeTraversal.ast` includes the root; astMinusRoot drops it."""
+    m = cpg.method("helper")
+    sub = m.ast().l(["label"])
+    labels = set(sub.column("label").to_pylist())
+    assert "METHOD" in labels and "METHOD_PARAMETER_IN" in labels
+    minus = m.ast_minus_root().l(["label"])
+    assert "METHOD" not in set(minus.column("label").to_pylist())
+    assert minus.num_rows == sub.num_rows - 1
+
+
+def test_depth(cpg):
+    """`AstNodeTraversal.depth` — helper's tree is deeper than 2 and the
+    main method (with control flow) deeper than helper."""
+    t_h = cpg.method("helper").depth()
+    t_m = cpg.method("main").depth()
+    d_h = t_h.column("depth")[0].as_py()
+    d_m = t_m.column("depth")[0].as_py()
+    assert d_h >= 3
+    assert d_m >= d_h
+
+
+def test_is_call_to_and_contains_call_to(cpg):
+    """isCallTo filters the set itself; containsCallTo scans subtrees."""
+    calls = cpg.call().is_call_to("gets").l(["code"])
+    assert calls.column("code").to_pylist() == ["gets(buf)"]
+    # main contains a gets() call, helper does not
+    hits = cpg.method(".*").contains_call_to("gets").l(["name"])
+    assert set(hits.column("name").to_pylist()) == {"main"}
