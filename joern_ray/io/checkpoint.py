@@ -19,7 +19,7 @@ import json
 import os
 import time
 
-ENGINE_VERSION = "0.4.0"  # bumped: dynamic_type_hint_full_name column + XTypeHintCallLinker
+ENGINE_VERSION = "0.5.0"  # bumped: MEMBER rows ride mtnode; FieldAccessLinkerPass; macro METHODs
 
 
 def _footer_row_count(path: str) -> tuple[int, list[str]]:

@@ -198,6 +198,10 @@ class GoFragmentParser(FragmentParser):
                             "MEMBER",
                             group[0],
                             name=group[0].text,
+                            # keyed on the UNQUALIFIED type name — the
+                            # receiver probe side sees `Server`, not
+                            # `util.Server` (FieldAccessLinkerPass handle)
+                            full_name=f"{name}.{group[0].text}",
                             code=f"{group[0].text} {ftype}",
                             type_full_name=ftype,
                         )
@@ -208,6 +212,7 @@ class GoFragmentParser(FragmentParser):
                             "MEMBER",
                             group[0],
                             name=group[0].text,
+                            full_name=f"{name}.{group[0].text}",
                             code=group[0].text,
                             type_full_name=group[0].text,
                         )

@@ -102,6 +102,8 @@ class FragmentParser:
             col=1,
         )
         self._emit_imports(root)
+        if self.is_c_family:
+            self._emit_macros(root)
         if self.is_js:
             # Joern jssrc wraps top-level statements in a `:program` METHOD
             # (jssrc2cpg program structure); named function decls are ALSO
@@ -158,6 +160,70 @@ class FragmentParser:
             self.node_count += 1
             root.add(node)
             root.extra_edges.append(("IMPORTS", node))
+
+    _MACRO_RE = None  # compiled lazily per class (shared)
+
+    def _emit_macros(self, root: PNode) -> None:
+        """MacroHandler analog (reference `c2cpg/.../astcreation/
+        MacroHandler.scala:1-224`: each expanded macro gets a METHOD node
+        so macro invocations are call-linkable).  The tokenizer drops
+        preprocessor lines, so function-like `#define N(args) body`
+        definitions are lifted here into METHOD nodes with full_name = N —
+        invocations parse as ordinary calls and link cross-document
+        through the standard machinery (+ canonicalization dedups
+        same-name redefinitions).  Object-like defines become LOCAL-less
+        TYPE-free IDENTIFIER aliases in the reference; we list them as
+        UNKNOWN directive nodes (PreprocessorPass's #define inventory)."""
+        import re as _re
+
+        cls = type(self)
+        if cls._MACRO_RE is None:
+            cls._MACRO_RE = {
+                "fn": _re.compile(
+                    r"^[ \t]*#[ \t]*define[ \t]+(\w+)\(([^)\n]*)\)[ \t]+(.+)$", _re.M
+                ),
+                "obj": _re.compile(
+                    r"^[ \t]*#[ \t]*define[ \t]+(\w+)[ \t]+([^\n(]+)$", _re.M
+                ),
+            }
+        for m in cls._MACRO_RE["fn"].finditer(self.src):
+            name, argstr, _body = m.group(1), m.group(2), m.group(3)
+            args = [a.strip() for a in argstr.split(",") if a.strip()]
+            line = self.src.count("\n", 0, m.start()) + 1
+            meth = PNode(
+                "METHOD",
+                name=name,
+                full_name=name,
+                signature="ANY(" + ",".join(["ANY"] * len(args)) + ")",
+                code=m.group(0).strip()[:MAX_CODE_LEN],
+                line=line,
+                col=1,
+            )
+            self.node_count += 1
+            for a in args:
+                p = PNode(
+                    "METHOD_PARAMETER_IN", name=a, code=a, line=line, col=1
+                )
+                self.node_count += 1
+                meth.add(p)
+            body = PNode("BLOCK", code="<macro>", line=line, col=1)
+            self.node_count += 1
+            meth.add(body)
+            ret = PNode("METHOD_RETURN", code="RET", type_full_name="ANY", line=line, col=1)
+            self.node_count += 1
+            meth.add(ret)
+            root.add(meth)
+        for m in cls._MACRO_RE["obj"].finditer(self.src):
+            line = self.src.count("\n", 0, m.start()) + 1
+            node = PNode(
+                "UNKNOWN",
+                name=m.group(1),
+                code=m.group(0).strip()[:MAX_CODE_LEN],
+                line=line,
+                col=1,
+            )
+            self.node_count += 1
+            root.add(node)
 
     # ---- token helpers ---------------------------------------------------
 
@@ -332,6 +398,11 @@ class FragmentParser:
                                 "MEMBER",
                                 mt,
                                 name=mt.text,
+                                # two-key (base type, field) join handle for
+                                # the cross-fragment FieldAccessLinkerPass
+                                # (`typerelations/FieldAccessLinkerPass.
+                                # scala:18-89`)
+                                full_name=f"{name}.{mt.text}",
                                 code=self._slice(m_start),
                                 type_full_name=typ,
                             )
@@ -477,7 +548,13 @@ class FragmentParser:
         # field
         self.i += 1
         field = self._new(
-            "MEMBER", t, name=t.text, type_full_name=typ, code=self._slice(start)
+            "MEMBER",
+            t,
+            name=t.text,
+            # FieldAccessLinkerPass join handle (Type.field)
+            full_name=f"{class_name}.{t.text}",
+            type_full_name=typ,
+            code=self._slice(start),
         )
         while not self._at_eof() and not self._accept(";"):
             self.i += 1
@@ -1364,6 +1441,26 @@ class FragmentParser:
         self._expect(")")
         return args
 
+    @staticmethod
+    def _field_probe_type(t: str | None) -> str:
+        """Normalize a base type to the MEMBER-key convention: strip
+        struct/union/enum/const keywords and pointer/ref suffixes;
+        reject templated/array/function types."""
+        if not t:
+            return ""
+        t = t.strip()
+        changed = True
+        while changed:
+            changed = False
+            for kw in ("struct ", "union ", "enum ", "const "):
+                if t.startswith(kw):
+                    t = t[len(kw):].strip()
+                    changed = True
+        t = t.rstrip("*& ").strip()
+        if not t or any(ch in t for ch in "<[;() "):
+            return ""
+        return t
+
     def _member_call_fqn(self, node: PNode, fname: str) -> str:
         """Qualified name for `base.m(...)` — overridable per dialect
         (the Go frontend qualifies package selectors)."""
@@ -1469,6 +1566,17 @@ class FragmentParser:
                         line=node.line,
                         col=node.col,
                     )
+                    # cross-fragment FieldAccessLinkerPass handle: when
+                    # the base's type is known but the member is NOT
+                    # declared in this fragment, record the two-key
+                    # (base type, field) probe as `Type.field` on the
+                    # fieldAccess call's full_name — the link stage
+                    # joins it against MEMBER full_names (reference
+                    # `typerelations/FieldAccessLinkerPass.scala:18-89`)
+                    if fid.ref_target is None:
+                        probe_t = self._field_probe_type(node.type_full_name)
+                        if probe_t:
+                            call.full_name = f"{probe_t}.{fname_tok.text}"
                     call.add(node, fid)
                     call.argument_children = [node, fid]
                     node = call

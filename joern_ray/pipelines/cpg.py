@@ -329,6 +329,7 @@ def build_cpg(
     _SV_AGGS = [
         ("m_c", "sum"),
         ("td_c", "sum"),
+        ("mb_c", "sum"),
         ("ty_c", "sum"),
         ("ns_c", "sum"),
         ("ca_c", "sum"),
@@ -336,7 +337,7 @@ def build_cpg(
         ("sn", "min"),
         ("sx", "max"),
     ]
-    _SV_NAMES = ["skey", "m_c", "td_c", "ty_c", "ns_c", "ca_c", "th_c", "sn", "sx"]
+    _SV_NAMES = ["skey", "m_c", "td_c", "mb_c", "ty_c", "ns_c", "ca_c", "th_c", "sn", "sx"]
     n_sv_buckets = max(8, num_partitions)
 
     def svagg_factory():
@@ -360,6 +361,7 @@ def build_cpg(
                     "skey": b.column("skey"),
                     "m_c": cnt("m"),
                     "td_c": cnt("td"),
+                    "mb_c": cnt("mb"),
                     "ty_c": cnt("ty"),
                     "ns_c": cnt("ns"),
                     "ca_c": cnt("ca"),
@@ -392,6 +394,7 @@ def build_cpg(
                     "skey": b.column("skey").cast(pa.string()),
                     "m_c": b.column("m_c").cast(pa.int64()),
                     "td_c": b.column("td_c").cast(pa.int64()),
+                    "mb_c": b.column("mb_c").cast(pa.int64()),
                     "ty_c": b.column("ty_c").cast(pa.int64()),
                     "ns_c": b.column("ns_c").cast(pa.int64()),
                     "ca_c": b.column("ca_c").cast(pa.int64()),
@@ -428,9 +431,18 @@ def build_cpg(
         )
 
     _f = pads.field
+    # NOTE: member (mb) dups are NOT canonical-renamed — the reference's
+    # FullNameUniquenessPass covers methods/typedecls only; the member
+    # index picks its canonical deterministically by sorted (fqn, id)
+    # first-wins, so the dup shuffle need not move the (highly
+    # duplicated) Type.field rows (measured +2s at sf0.1 when it did)
     dup_fqns = frozenset(_sv_keys((_f("m_c") >= 2) | (_f("td_c") >= 2)))
     n_methods = _svds.count_rows(filter=_f("m_c") > 0)
-    n_mt = n_methods + _svds.count_rows(filter=_f("td_c") > 0)
+    n_mt = (
+        n_methods
+        + _svds.count_rows(filter=_f("td_c") > 0)
+        + _svds.count_rows(filter=_f("mb_c") > 0)
+    )
     n_calls = _svds.count_rows(filter=_f("ca_c") > 0)
     use_broadcast = (not force_shuffle_link) and n_methods <= broadcast_limit
     hot_keys = set(_sv_keys(_f("ca_c") >= hot_key_threshold))
@@ -558,6 +570,32 @@ def build_cpg(
                 }
             )
         index_ref = ray.put(index_table)
+        # MEMBER dimension (FieldAccessLinkerPass): (full_name, id) of
+        # canonical Type.field rows — tiny projection, same gate as the
+        # method index
+        if n_mt:
+            mem_t = (
+                pads.dataset(canon_path, format="parquet")
+                .to_table(
+                    columns=["label", "full_name", "id"],
+                    filter=(
+                        (pads.field("label") == "MEMBER")
+                        & (pads.field("full_name") != "")
+                    ),
+                )
+                .select(["full_name", "id"])
+            )
+            mem_t = mem_t.take(
+                pc.sort_indices(
+                    mem_t,
+                    sort_keys=[("full_name", "ascending"), ("id", "ascending")],
+                )
+            )
+        else:
+            mem_t = pa.table(
+                {"full_name": pa.array([], pa.string()), "id": pa.array([], pa.uint64())}
+            )
+        member_ref = ray.put(mem_t)
         _mark("index_projection")
     else:
 
@@ -568,14 +606,19 @@ def build_cpg(
                 m = pc.is_in(
                     batch.column("label"), value_set=pa.array(["CALL", "METHOD_REF"])
                 )
-                out = batch.filter(m).select(["id", "label", "method_full_name"])
+                # full_name carries the FieldAccessLinkerPass Type.field
+                # probe on fieldAccess operator calls
+                out = batch.filter(m).select(
+                    ["id", "label", "method_full_name", "full_name"]
+                )
                 # synthetic per-hint fact rows (XTypeHintCallLinker) ride
                 # the same salted join as ordinary calls
                 hr = hint_fact_rows(batch)
                 if hr.num_rows:
-                    out = pa.concat_tables(
-                        [out, hr.select(out.column_names)], promote_options="default"
+                    hr = hr.append_column(
+                        "full_name", pa.nulls(hr.num_rows, pa.string())
                     )
+                    out = pa.concat_tables([out, hr], promote_options="default")
                 return out
 
             return nodes_plain().map_batches(_f, batch_format="pyarrow")
@@ -723,7 +766,7 @@ def build_cpg(
         from ..stages.link import combined_linker_fn
 
         final_edges = all_nodes().map_batches(
-            combined_linker_fn(index_ref, dyn_ref), batch_format="pyarrow"
+            combined_linker_fn(index_ref, dyn_ref, member_ref), batch_format="pyarrow"
         )
     else:
         mapside_edges = all_nodes().map_batches(

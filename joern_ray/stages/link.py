@@ -435,9 +435,24 @@ class CallLinker:
     (`logFailedDstLookup` analog is the stub row itself).
     """
 
-    def __init__(self, index_ref, dyn_ref=None) -> None:
+    def __init__(self, index_ref, dyn_ref=None, member_ref=None) -> None:
         import ray
 
+        # MEMBER dimension (Type.field -> canonical member id) for the
+        # cross-fragment FieldAccessLinkerPass (reference
+        # `typerelations/FieldAccessLinkerPass.scala:18-89`)
+        self.member_index: dict[str, int] = {}
+        if member_ref is not None:
+            mt = (
+                ray.get(member_ref)
+                if not isinstance(member_ref, pa.Table)
+                else member_ref
+            )
+            for fn_, mid in zip(
+                mt.column("full_name").to_pylist(), mt.column("id").to_pylist()
+            ):
+                if fn_ and fn_ not in self.member_index:  # first-wins
+                    self.member_index[fn_] = mid
         t: pa.Table = ray.get(index_ref) if not isinstance(index_ref, pa.Table) else index_ref
         names = t.column("full_name").to_pylist()
         ids = t.column("id").to_pylist()
@@ -732,12 +747,15 @@ class CombinedLinker(CallLinker):
                 [calls.select(_HINT_FACT_SCHEMA.names), hint_rows],
                 promote_options="default",
             )
+        facc_edges = self._field_access_edges(batch)
         call_edges = (
             CallLinker.__call__(self, calls)
             if calls.num_rows
             else EDGES_SCHEMA.empty_table()
         )
         parts = [call_edges, mapside_link_edges(batch)]
+        if facc_edges is not None:
+            parts.append(facc_edges)
         if self.ret_types and calls.num_rows:
             import numpy as np
 
@@ -768,6 +786,57 @@ class CombinedLinker(CallLinker):
         return pa.concat_tables(parts)
 
 
+    def _field_access_edges(self, batch: pa.Table) -> "pa.Table | None":
+        """fieldAccess calls carrying a Type.field probe in full_name ->
+        REF edge to the canonical MEMBER on index hit (misses drop, the
+        reference logs-and-drops the same way)."""
+        if not self.member_index or "full_name" not in batch.column_names:
+            return None
+        fn_col = pc.coalesce(batch.column("full_name"), pa.scalar(""))
+        m = pc.and_(
+            pc.and_(
+                pc.equal(batch.column("label"), "CALL"),
+                pc.not_equal(fn_col, ""),
+            ),
+            pc.starts_with(
+                pc.coalesce(batch.column("method_full_name"), pa.scalar("")),
+                "<operator>",
+            ),
+        )
+        fa = batch.filter(m)
+        if fa.num_rows == 0:
+            return None
+        import numpy as np
+
+        d = pc.dictionary_encode(
+            pc.coalesce(fa.column("full_name"), pa.scalar("")).combine_chunks()
+        )
+        uniq = d.dictionary.to_pylist()
+        tgt = np.array(
+            [self.member_index.get(u, 0) for u in uniq], dtype=np.uint64
+        )
+        obj = tgt[d.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        keep = obj != 0
+        if not keep.any():
+            return None
+        subj = (
+            fa.column("id")
+            .combine_chunks()
+            .cast(pa.uint64())
+            .to_numpy(zero_copy_only=False)[keep]
+        )
+        n = int(keep.sum())
+        return pa.table(
+            {
+                "subj": pa.array(subj, pa.uint64()),
+                "pred": pa.array(["REF"] * n, pa.string()),
+                "obj": pa.array(obj[keep], pa.uint64()),
+                "variable": pa.nulls(n, pa.string()),
+            },
+            schema=EDGES_SCHEMA,
+        )
+
+
 # Per-worker-process memo for task-based broadcast linking: Ray reuses
 # worker processes across map_batches tasks, so the (large) fqn->id dict
 # is built once per worker from the ray.put table — task scheduling
@@ -776,7 +845,7 @@ class CombinedLinker(CallLinker):
 _WORKER_LINKER: dict = {}
 
 
-def combined_linker_fn(index_ref, dyn_ref=None):
+def combined_linker_fn(index_ref, dyn_ref=None, member_ref=None):
     """Task UDF factory: per-batch CombinedLinker backed by the
     per-worker cache.  The closure carries only ObjectRefs (bytes)."""
 
@@ -785,7 +854,7 @@ def combined_linker_fn(index_ref, dyn_ref=None):
         lk = _WORKER_LINKER.get(key)
         if lk is None:
             _WORKER_LINKER.clear()
-            lk = CombinedLinker(index_ref, dyn_ref)
+            lk = CombinedLinker(index_ref, dyn_ref, member_ref)
             _WORKER_LINKER[key] = lk
         return lk(batch)
 
@@ -922,6 +991,42 @@ def salted_call_link(
                 labs.append(pa.array(l2, pa.string()))
                 fqs.append(pa.array(f2, pa.string()))
                 fxs.append(pa.array(np.array(x2, dtype=np.int8), pa.int8()))
+            # FieldAccessLinkerPass facts: fieldAccess probes keyed by
+            # their Type.field full_name (fx=2 -> REF on dim hit, no
+            # stub fallback, no EVAL_TYPE; field keys are never hot so
+            # salt 0 suffices)
+            if "full_name" in batch.column_names:
+                fnc = pc.coalesce(batch.column("full_name"), pa.scalar(""))
+                fm = pc.and_(
+                    pc.and_(
+                        pc.equal(batch.column("label"), "CALL"),
+                        pc.not_equal(fnc, ""),
+                    ),
+                    pc.starts_with(
+                        pc.coalesce(
+                            batch.column("method_full_name"), pa.scalar("")
+                        ),
+                        "<operator>",
+                    ),
+                )
+                fb_ = batch.filter(fm)
+                if fb_.num_rows:
+                    f_fqn = fb_.column("full_name").combine_chunks().cast(pa.string())
+                    import polars as _pl
+
+                    fkey = (
+                        _pl.DataFrame({"f": _pl.from_arrow(f_fqn)})
+                        .select((_pl.col("f") + _pl.lit("\x1f0")).alias("k"))["k"]
+                        .to_arrow()
+                        .cast(pa.string())
+                    )
+                    keys.append(fkey)
+                    nids.append(fb_.column("id").combine_chunks().cast(pa.uint64()))
+                    labs.append(pa.array(["FACC"] * fb_.num_rows, pa.string()))
+                    fqs.append(f_fqn)
+                    fxs.append(
+                        pa.array(np.full(fb_.num_rows, 2, dtype=np.int8), pa.int8())
+                    )
             n_total = sum(len(k) for k in keys)
             return pa.table(
                 {
@@ -942,7 +1047,17 @@ def salted_call_link(
         import numpy as np
         import polars as pl
 
-        b = batch.filter(pc.equal(batch.column("label"), "METHOD"))
+        b = batch.filter(
+            pc.and_(
+                pc.is_in(
+                    batch.column("label"), value_set=pa.array(["METHOD", "MEMBER"])
+                ),
+                pc.not_equal(
+                    pc.coalesce(batch.column("full_name"), pa.scalar("")), ""
+                ),
+            )
+        )
+        lab_col = b.column("label").combine_chunks().cast(pa.string())
         fqn = b.column("full_name").combine_chunks()
         sig = pc.coalesce(b.column("signature"), pa.scalar("")).combine_chunks() if "signature" in b.column_names else pa.nulls(b.num_rows, pa.string())
         nid = b.column("id").combine_chunks().to_numpy(zero_copy_only=False)
@@ -957,6 +1072,7 @@ def salted_call_link(
             .cast(pa.string())
         ]
         nids = [cold.column("id").combine_chunks().cast(pa.uint64())]
+        cold_labs = cold.column("label").combine_chunks().cast(pa.string())
         fqs = [cold_fqn.cast(pa.string())]
         sigs = [
             pc.coalesce(cold.column("signature"), pa.scalar("")).combine_chunks().cast(pa.string())
@@ -964,19 +1080,23 @@ def salted_call_link(
             else pa.nulls(cold.num_rows, pa.string())
         ]
         hot_fqn = fqn.to_pylist()
+        hot_lab = lab_col.to_pylist()
         hot_sig = sig.to_pylist() if isinstance(sig, (pa.Array, pa.ChunkedArray)) else [""] * len(hot_fqn)
-        k2, n2, f2, g2 = [], [], [], []
+        labs = [cold_labs]
+        k2, n2, f2, g2, l2 = [], [], [], [], []
         for i in np.nonzero(hm)[0]:
             for s_ in range(n_salts):
                 k2.append(f"{hot_fqn[i]}\x1f{s_}")
                 n2.append(int(nid[i]))
                 f2.append(hot_fqn[i])
                 g2.append(hot_sig[i] or "")
+                l2.append(hot_lab[i])
         if k2:
             keys.append(pa.array(k2, pa.string()))
             nids.append(pa.array(n2, pa.uint64()))
             fqs.append(pa.array(f2, pa.string()))
             sigs.append(pa.array(g2, pa.string()))
+            labs.append(pa.array(l2, pa.string()))
         key_col = pa.concat_arrays(keys)
         n_total = len(key_col)
         return pa.table(
@@ -984,7 +1104,7 @@ def salted_call_link(
                 "key": key_col,
                 "side": pa.array(["D"] * n_total, pa.string()),
                 "nid": pa.concat_arrays(nids),
-                "lab": pa.array(["METHOD"] * n_total, pa.string()),
+                "lab": pa.concat_arrays(labs),
                 "fqn": pa.concat_arrays(fqs),
                 "sig": pa.concat_arrays(sigs),
                 "fx": pa.array(np.zeros(n_total, dtype=np.int8), pa.int8()),
@@ -1021,10 +1141,40 @@ def salted_call_link(
         dmask = pc.equal(side, "D")
         fmask = pc.equal(side, "F")
         dims_b = batch.filter(dmask)
-        facts_b = batch.filter(fmask)
-        if facts_b.num_rows == 0:
+        all_facts = batch.filter(fmask)
+        if all_facts.num_rows == 0:
             return EDGES_SCHEMA.empty_table()
         parts: list[pa.Table] = []
+        # FieldAccessLinkerPass half: FACC facts join MEMBER dims only
+        # (REF edge, no stub fallback on miss — reference drops+logs)
+        facc_mask = pc.equal(all_facts.column("lab"), "FACC")
+        facc_b = all_facts.filter(facc_mask)
+        facts_b = all_facts.filter(pc.invert(facc_mask))
+        if facc_b.num_rows and dims_b.num_rows:
+            mem_d = dims_b.filter(pc.equal(dims_b.column("lab"), "MEMBER"))
+            if mem_d.num_rows:
+                m_nids = mem_d.column("nid").to_numpy(zero_copy_only=False)
+                m_tgt = int(m_nids[int(np.argmin(m_nids))])
+                parts.append(
+                    pa.table(
+                        {
+                            "subj": facc_b.column("nid").combine_chunks().cast(pa.uint64()),
+                            "pred": pa.array(["REF"] * facc_b.num_rows, pa.string()),
+                            "obj": pa.array(
+                                np.full(facc_b.num_rows, m_tgt, dtype=np.uint64),
+                                pa.uint64(),
+                            ),
+                            "variable": pa.nulls(facc_b.num_rows, pa.string()),
+                        },
+                        schema=EDGES_SCHEMA,
+                    )
+                )
+        # method half: calls/method_refs join METHOD dims
+        dims_b = dims_b.filter(pc.equal(dims_b.column("lab"), "METHOD"))
+        if facts_b.num_rows == 0:
+            return (
+                pa.concat_tables(parts) if parts else EDGES_SCHEMA.empty_table()
+            )
         if dims_b.num_rows:
             nids_d = dims_b.column("nid").to_numpy(zero_copy_only=False)
             j = int(np.argmin(nids_d))

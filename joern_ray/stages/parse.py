@@ -59,10 +59,11 @@ UNION_SCHEMA = pa.schema(
     ]
 )
 
-# METHOD/TYPE_DECL rows get their own row_kind so the canonicalization
-# collect reads a small dedicated hive dir instead of filtering the
-# full node stream.
-MT_LABELS = ("METHOD", "TYPE_DECL")
+# METHOD/TYPE_DECL/MEMBER rows get their own row_kind so the
+# canonicalization + index projections read a small dedicated hive dir
+# instead of filtering the full node stream (MEMBER rides along for the
+# cross-fragment FieldAccessLinkerPass two-key join).
+MT_LABELS = ("METHOD", "TYPE_DECL", "MEMBER")
 
 
 def make_union_table(

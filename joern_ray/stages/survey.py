@@ -5,6 +5,8 @@ associatively).
 `survey_partial` turns one node batch into tagged partial rows:
   'm'  METHOD full_name counts     (dup detection + broadcast sizing)
   'td' TYPE_DECL full_name counts  (dup detection)
+  'mb' MEMBER full_name counts     (dup detection for the canonicalized
+       Type.field join keys of FieldAccessLinkerPass)
   'ty' distinct type fqns — the FULL TYPE-dimension key set: value
        type_full_names, ;-exploded TYPE_DECL inherits, alias targets,
        TYPE_DECL full_names and METHOD return types (TypeNodePass union
@@ -79,7 +81,7 @@ def survey_partial(batch: pa.Table, edges: "pa.Table | None" = None) -> pa.Table
                     cur[0] = n
                 if n > cur[1]:
                     cur[1] = n
-    for kind, lab in (("m", "METHOD"), ("td", "TYPE_DECL")):
+    for kind, lab in (("m", "METHOD"), ("td", "TYPE_DECL"), ("mb", "MEMBER")):
         vc = batch.filter(pc.equal(labels, lab)).column("full_name").value_counts()
         for v, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
             if v:

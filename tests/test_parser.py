@@ -184,3 +184,31 @@ def test_import_nodes():
             e["pred"] == "IMPORTS" and byid[e["subj"]]["label"] == "NAMESPACE_BLOCK"
             for e in edges
         )
+
+
+def test_macro_definitions_become_methods():
+    """MacroHandler analog (`c2cpg/.../MacroHandler.scala:1-224`):
+    function-like #defines lift to METHOD nodes named like the macro so
+    invocations link; object-like defines are inventoried as UNKNOWN."""
+    from joern_ray.parsing.astmodel import flatten
+    from joern_ray.parsing.parser import FragmentParser
+
+    src = (
+        "#define MIN(a, b) ((a) < (b) ? (a) : (b))\n"
+        "#define BUF_SIZE 64\n"
+        "int clamp(int x) {\n"
+        "  return MIN(x, 10);\n"
+        "}\n"
+    )
+    root = FragmentParser("c").parse(src, "u", 0)
+    nodes, _edges = flatten(root, "u", 0, "c")
+    macros = [n for n in nodes if n["label"] == "METHOD" and n["name"] == "MIN"]
+    assert len(macros) == 1
+    assert macros[0]["full_name"] == "MIN"
+    assert macros[0]["signature"] == "ANY(ANY,ANY)"
+    assert macros[0]["code"].startswith("#define MIN")
+    unk = [n for n in nodes if n["label"] == "UNKNOWN" and n["name"] == "BUF_SIZE"]
+    assert len(unk) == 1
+    # the invocation parses as an ordinary call with the macro's fqn
+    calls = [n for n in nodes if n["label"] == "CALL" and n["method_full_name"] == "MIN"]
+    assert len(calls) == 1
