@@ -194,6 +194,67 @@ def reachable_by(
     )
 
 
+# Per-callsite argument->return / argument->argument flow mappings —
+# ported from the reference's `DefaultSemantics.scala:24-113` (`F(name,
+# [(src, dst)])`: dst -1 = the call's return value; "PT" =
+# PassThroughMapping, every argument flows to the return).  Operator
+# calls NOT listed here default to passthrough, matching the engine's
+# prior conservative behavior for unmodeled operators.
+DEFAULT_SEMANTICS: dict = {
+    "<operator>.addition": ((1, -1), (2, -1)),
+    "<operator>.addressOf": ((1, -1),),
+    "<operator>.assignment": ((2, 1), (2, -1)),
+    "<operator>.assignmentPlus": ((2, 1), (1, 1), (2, -1)),
+    "<operator>.assignmentMinus": ((2, 1), (1, 1), (2, -1)),
+    "<operator>.assignmentMultiplication": ((2, 1), (1, 1), (2, -1)),
+    "<operator>.assignmentDivision": ((2, 1), (1, 1), (2, -1)),
+    "<operator>.assignmentModulo": ((2, 1), (1, 1), (2, -1)),
+    "<operator>.cast": ((1, -1), (2, -1)),
+    "<operator>.conditional": ((2, -1), (3, -1)),
+    "<operator>.fieldAccess": ((1, -1),),
+    "<operator>.indexAccess": ((1, -1),),
+    "<operator>.indirectFieldAccess": ((1, -1),),
+    "<operator>.indirectIndexAccess": ((1, -1), (2, 1)),
+    "<operator>.indirection": ((1, -1),),
+    "<operator>.postDecrement": ((1, 1), (1, -1)),
+    "<operator>.postIncrement": ((1, 1), (1, -1)),
+    "<operator>.preDecrement": ((1, 1), (1, -1)),
+    "<operator>.preIncrement": ((1, 1), (1, -1)),
+    "<operator>.sizeOf": (),
+    "<operator>.modulo": "PT",
+    "<operator>.arrayInitializer": "PT",
+    # common external C calls (`DefaultSemantics.cFlows`)
+    "abs": ((1, 1), (1, -1)),
+    "abort": (),
+    "atof": ((1, 1), (1, -1)),
+    "atoi": ((1, 1), (1, -1)),
+    "atol": ((1, 1), (1, -1)),
+    "calloc": ((1, -1), (2, -1)),
+    "exit": ((1, 1),),
+    "exp": ((1, -1),),
+    "fabs": ((1, -1),),
+    "fclose": ((1, 1), (1, -1)),
+    "fdopen": ((1, -1), (2, -1)),
+    "feof": ((1, 1), (1, -1)),
+    "ferror": ((1, 1), (1, -1)),
+    "fflush": ((1, 1), (1, -1)),
+    "fgetc": ((1, 1), (1, -1)),
+    "fwrite": ((1, 1), (1, -1), (2, -1), (3, -1), (4, -1)),
+    "free": ((1, 1),),
+    "getc": ((1, 1),),
+    "scanf": ((2, 2),),
+    "strcmp": ((1, 1), (1, -1), (2, 2), (2, -1)),
+    "strlen": ((1, 1), (1, -1)),
+    "strcpy": ((2, 1), (1, -1), (2, -1)),
+    "strcat": ((2, 1), (1, 1), (1, -1), (2, -1)),
+    "strncpy": ((1, 1), (2, 2), (3, 3), (2, 1), (1, -1), (2, -1)),
+    "strncat": ((1, 1), (2, 2), (3, 3), (2, 1), (1, -1), (2, -1)),
+    "memcpy": ((2, 1), (1, -1), (2, -1)),
+    "memmove": ((2, 1), (1, -1), (2, -1)),
+    "sprintf": ((2, 1), (3, 1), (4, 1), (1, -1)),
+}
+
+
 def reachable_by_interproc(
     nodes_ds_factory,
     edges_ds_factory,
@@ -217,30 +278,147 @@ def reachable_by_interproc(
     visited = sinks.copy()
     out_nodes: list[np.ndarray] = [sinks]
     out_cd: list[np.ndarray] = [np.zeros(sinks.size, dtype=np.int32)]
-    def _operator_args(level_nodes: np.ndarray) -> np.ndarray:
-        """Operator-semantics propagation (`DefaultSemantics.scala:24-60`
-        PassThroughMapping): arguments of a reached `<operator>.*` CALL
-        are reached too (e.g. the RHS call inside an assignment)."""
-        meta = _node_meta(nodes_ds_factory(), level_nodes, ("id", "label", "name"))
+
+    def _semantic_expand(level_nodes: np.ndarray) -> np.ndarray:
+        """Per-callsite FlowSemantic propagation (reference
+        `DefaultSemantics.scala:24-113` + `FlowSemantic` mappings):
+
+        - reached CALL with a known semantics entry -> only the SOURCE
+          arguments mapped to the return value (`(s, -1)` pairs) are
+          reached, not every argument;
+        - reached CALL that is an operator WITHOUT a table entry, or a
+          RETURN -> passthrough (all arguments), the reference's
+          PassThroughMapping default;
+        - reached ARGUMENT at index k of a semantics call -> the sibling
+          source arguments with an `(s, k)` mapping (e.g. strncpy's
+          dst<-src `(2, 1)`)."""
+        meta = _node_meta(
+            nodes_ds_factory(), level_nodes, ("id", "label", "name", "argument_index")
+        )
         if meta is None or meta.num_rows == 0:
             return np.empty(0, np.uint64)
-        ops = meta.filter(
-            pc.or_(
-                pc.and_(
-                    pc.equal(meta.column("label"), "CALL"),
-                    pc.starts_with(
-                        pc.coalesce(meta.column("name"), pa.scalar("")), "<operator>."
-                    ),
+        out: list[np.ndarray] = []
+        # RETURN passthrough
+        rets = (
+            meta.filter(pc.equal(meta.column("label"), "RETURN"))
+            .column("id")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        if rets.size:
+            _s, argn = _scan_pairs(edges_ds_factory(), "ARGUMENT", "subj", rets)
+            out.append(argn)
+        calls = meta.filter(pc.equal(meta.column("label"), "CALL"))
+        per_call_srcs: dict[int, set] = {}
+        blanket: list[int] = []
+        for cid, nm in zip(
+            calls.column("id").to_pylist(), calls.column("name").to_pylist()
+        ):
+            sem = DEFAULT_SEMANTICS.get(nm or "")
+            if sem == "PT":
+                blanket.append(cid)
+            elif sem is not None:
+                srcs = {s for s, d in sem if d == -1}
+                if srcs:
+                    per_call_srcs[cid] = srcs
+            elif (nm or "").startswith("<operator>."):
+                blanket.append(cid)  # unlisted operator: passthrough
+        probe = list(per_call_srcs) + blanket
+        if probe:
+            cids, argn = _scan_pairs(edges_ds_factory(), "ARGUMENT", "subj", probe)
+            if argn.size:
+                ameta = _node_meta(
+                    nodes_ds_factory(), np.unique(argn), ("id", "argument_index")
+                )
+                aidx = (
+                    dict(
+                        zip(
+                            ameta.column("id").to_pylist(),
+                            ameta.column("argument_index").to_pylist(),
+                        )
+                    )
+                    if ameta is not None
+                    else {}
+                )
+                blank = set(blanket)
+                keep = [
+                    a
+                    for c, a in zip(cids.tolist(), argn.tolist())
+                    if c in blank or aidx.get(a) in per_call_srcs.get(c, ())
+                ]
+                if keep:
+                    out.append(np.array(keep, dtype=np.uint64))
+        # reached ARGUMENTs of semantics calls: arg<-arg mappings
+        args_r = meta.filter(
+            pc.and_(
+                meta.column("argument_index").is_valid(),
+                pc.greater(
+                    pc.coalesce(meta.column("argument_index"), pa.scalar(-1)), 0
                 ),
-                # a reached RETURN propagates from its returned expression
-                pc.equal(meta.column("label"), "RETURN"),
             )
         )
-        if ops.num_rows == 0:
-            return np.empty(0, np.uint64)
-        op_ids = ops.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        _s, argn = _scan_pairs(edges_ds_factory(), "ARGUMENT", "subj", op_ids)
-        return argn
+        if args_r.num_rows:
+            a_ids = args_r.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            pc_ids, pa_ids = _scan_pairs(
+                edges_ds_factory(), "ARGUMENT", "obj", a_ids
+            )
+            if pc_ids.size:
+                pmeta = _node_meta(nodes_ds_factory(), np.unique(pc_ids), ("id", "name"))
+                pname = (
+                    dict(
+                        zip(
+                            pmeta.column("id").to_pylist(),
+                            pmeta.column("name").to_pylist(),
+                        )
+                    )
+                    if pmeta is not None
+                    else {}
+                )
+                ridx = dict(
+                    zip(
+                        args_r.column("id").to_pylist(),
+                        args_r.column("argument_index").to_pylist(),
+                    )
+                )
+                want: dict[int, set] = {}
+                for c, a in zip(pc_ids.tolist(), pa_ids.tolist()):
+                    sem = DEFAULT_SEMANTICS.get(pname.get(c) or "")
+                    if sem is None or sem == "PT":
+                        continue
+                    k = ridx.get(a)
+                    if k is None:
+                        continue
+                    srcs = {s for s, d in sem if d == k and s != k}
+                    if srcs:
+                        want.setdefault(c, set()).update(srcs)
+                if want:
+                    c2, a2 = _scan_pairs(
+                        edges_ds_factory(), "ARGUMENT", "subj", list(want)
+                    )
+                    if a2.size:
+                        ameta2 = _node_meta(
+                            nodes_ds_factory(), np.unique(a2), ("id", "argument_index")
+                        )
+                        aidx2 = (
+                            dict(
+                                zip(
+                                    ameta2.column("id").to_pylist(),
+                                    ameta2.column("argument_index").to_pylist(),
+                                )
+                            )
+                            if ameta2 is not None
+                            else {}
+                        )
+                        keep2 = [
+                            a
+                            for c, a in zip(c2.tolist(), a2.tolist())
+                            if aidx2.get(a) in want.get(c, ())
+                        ]
+                        if keep2:
+                            out.append(np.array(keep2, dtype=np.uint64))
+        return np.concatenate(out) if out else np.empty(0, np.uint64)
+
+    _operator_args = _semantic_expand
 
     seed = sinks
     for cd in range(0, max_call_depth + 1):
@@ -308,40 +486,52 @@ def reachable_by_interproc(
                         )
                         next_seed.append(rets)
         if param_t.num_rows:
-            # p -> its METHOD (AST parent) -> call sites -> matching args
+            # p -> its METHOD (AST parent) -> call sites -> the args at
+            # EXACTLY the crossed parameter's index of EXACTLY that
+            # method's call sites (per-callsite mapping — the reference's
+            # FlowSemantic parameterized crossing; the previous
+            # index-set-union over all crossed params over-approximated)
             p_ids = param_t.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
-            p_orders = {
-                int(o) for o in param_t.column("order").to_pylist() if o is not None
-            }
-            meths, _params = _scan_pairs(edges_ds_factory(), "AST", "obj", p_ids)
+            porder = dict(
+                zip(param_t.column("id").to_pylist(), param_t.column("order").to_pylist())
+            )
+            meths, params_ = _scan_pairs(edges_ds_factory(), "AST", "obj", p_ids)
             if meths.size:
-                callers, _m2 = _scan_pairs(
+                m_orders: dict[int, set] = {}
+                for mth, prm in zip(meths.tolist(), params_.tolist()):
+                    o = porder.get(prm)
+                    if o is not None:
+                        m_orders.setdefault(mth, set()).add(int(o))
+                callers, meths2 = _scan_pairs(
                     edges_ds_factory(), "CALL", "obj", np.unique(meths)
                 )
                 if callers.size:
-                    _ca, argn = _scan_pairs(
-                        edges_ds_factory(), "ARGUMENT", "subj", np.unique(callers)
+                    call_orders: dict[int, set] = {}
+                    for c_, m_ in zip(callers.tolist(), meths2.tolist()):
+                        os_ = m_orders.get(m_)
+                        if os_:
+                            call_orders.setdefault(c_, set()).update(os_)
+                    ca, argn = _scan_pairs(
+                        edges_ds_factory(), "ARGUMENT", "subj", list(call_orders)
                     )
                     if argn.size:
                         ameta = _node_meta(
                             nodes_ds_factory(), np.unique(argn), ("id", "argument_index")
                         )
                         if ameta is not None and ameta.num_rows:
-                            # index-set match (conservative union across
-                            # crossed params; the reference maps exactly
-                            # per call site via FlowSemantics)
-                            ai = ameta.column("argument_index").to_numpy(zero_copy_only=False)
-                            aid = (
-                                ameta.column("id")
-                                .to_numpy(zero_copy_only=False)
-                                .astype(np.uint64)
+                            aidx = dict(
+                                zip(
+                                    ameta.column("id").to_pylist(),
+                                    ameta.column("argument_index").to_pylist(),
+                                )
                             )
-                            keep = (
-                                np.isin(ai, list(p_orders))
-                                if p_orders
-                                else np.ones(len(ai), bool)
-                            )
-                            next_seed.append(aid[keep])
+                            keep = [
+                                a
+                                for c_, a in zip(ca.tolist(), argn.tolist())
+                                if aidx.get(a) in call_orders.get(c_, ())
+                            ]
+                            if keep:
+                                next_seed.append(np.array(keep, dtype=np.uint64))
         if not next_seed:
             break
         seed_arr = np.unique(np.concatenate(next_seed))

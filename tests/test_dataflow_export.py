@@ -314,3 +314,74 @@ def test_interprocedural_taint_across_documents(ray_session):
         nodes_f, edges_f, source_pred, sink_pred, interprocedural=False
     )
     assert flows_intra.num_rows == 0
+
+
+def test_per_callsite_flow_semantics(ray_session):
+    """DefaultSemantics goldens (`DefaultSemantics.scala:24-113`):
+    - memcpy's dst argument receives flow from src ((2,1)) — backward
+      reach from dst includes src;
+    - a reached scanf CALL does NOT pull from its arguments (scanf has
+      no (s,-1) mapping), where the old blanket passthrough would.
+    """
+    import ray.data
+
+    from joern_ray.graph.cfg import method_overlays
+    from joern_ray.graph.dataflow import reachable_by_interproc
+    from joern_ray.parsing.astmodel import flatten
+    from joern_ray.parsing.parser import FragmentParser
+
+    src = (
+        "void f(char *input) {\n"
+        "  char dst[8];\n"
+        "  char *tainted = input;\n"
+        "  memcpy(dst, tainted, 8);\n"
+        "  int v = scanf(\"%d\");\n"
+        "  use(v);\n"
+        "}\n"
+    )
+    root = FragmentParser("c").parse(src, "u", 0)
+    nodes, edges = flatten(root, "u", 0, "c")
+    for a, p, b, var in method_overlays(root):
+        edges.append({"subj": a.id, "pred": p, "obj": b.id, "variable": var})
+    nt = pa.table(
+        {
+            "id": pa.array([n["id"] for n in nodes], pa.uint64()),
+            "label": pa.array([n["label"] for n in nodes], pa.string()),
+            "name": pa.array([n["name"] for n in nodes], pa.string()),
+            "order": pa.array([n["order"] for n in nodes], pa.int32()),
+            "argument_index": pa.array([n["argument_index"] for n in nodes], pa.int32()),
+        }
+    )
+    et = pa.table(
+        {
+            "subj": pa.array([e["subj"] for e in edges], pa.uint64()),
+            "pred": pa.array([e["pred"] for e in edges], pa.string()),
+            "obj": pa.array([e["obj"] for e in edges], pa.uint64()),
+        }
+    )
+    nf = lambda: ray.data.from_arrow(nt)  # noqa: E731
+    ef = lambda: ray.data.from_arrow(et)  # noqa: E731
+
+    by_code = {}
+    for n in nodes:
+        by_code.setdefault(n["label"], {}).setdefault(n["name"], n["id"])
+    # sink: the memcpy CALL itself (dst-arg semantics pull src through)
+    memcpy_id = by_code["CALL"]["memcpy"]
+    reached = set(
+        reachable_by_interproc(nf, ef, [memcpy_id]).column("node").to_pylist()
+    )
+    tainted_ids = {n["id"] for n in nodes if n["name"] == "tainted"}
+    assert reached & tainted_ids, "memcpy (2,1)/(2,-1) semantics lost src flow"
+    input_ids = {n["id"] for n in nodes if n["name"] == "input"}
+    assert reached & input_ids, "flow did not continue to the source param"
+    # negative: reaching the scanf CALL must NOT pull its format argument
+    scanf_id = by_code["CALL"]["scanf"]
+    reached2 = set(
+        reachable_by_interproc(nf, ef, [scanf_id]).column("node").to_pylist()
+    )
+    fmt_lits = {
+        n["id"]
+        for n in nodes
+        if n["label"] == "LITERAL" and "%d" in (n["code"] or "")
+    }
+    assert not (reached2 & fmt_lits), "scanf has no (s,-1) mapping; blanket leak"
