@@ -122,10 +122,65 @@ def _flow_projection(edges_ds_factory, preds: tuple):
     )
 
 
+import os as _os
+
+# Frontiers above this gate hop via a distributed hash JOIN instead of a
+# ray.put broadcast — the shuffle-join frontier regime (bounds driver
+# memory at O(gate), not O(frontier); the reference engine's per-task
+# result sets have the same role).  Below the gate the broadcast filter
+# is strictly faster (no shuffle).
+FRONTIER_BROADCAST_GATE = int(_os.environ.get("JOERN_RAY_FRONTIER_GATE", 2_000_000))
+
+
+def _hop_join(flow_ds, frontier: np.ndarray, direction: str):
+    """Shuffle-join hop: frontier Dataset ⋈ flow edges on the match end.
+    Driver only materializes the (next, from) RESULT pairs, never holds
+    the frontier as a broadcast value-set inside every task closure."""
+    import ray
+    import ray.data
+
+    match_col, emit_col = ("obj", "subj") if direction == "back" else ("subj", "obj")
+    # size the join to the cluster: the hash-shuffle join schedules
+    # aggregator ACTORS; oversizing num_partitions vs available CPUs
+    # deadlocks at small CPU counts (measured: num_partitions=32 at 4
+    # CPUs hangs spawning workers forever)
+    n_cpu = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(32, n_cpu))
+    f_ds = ray.data.from_arrow(
+        pa.table({"fkey": pa.array(frontier, pa.uint64())})
+    ).repartition(max(2, nparts // 4))
+    joined = flow_ds.join(
+        f_ds,
+        "inner",
+        num_partitions=nparts,
+        on=(match_col,),
+        right_on=("fkey",),
+    )
+
+    def pick(b: pa.Table) -> pa.Table:
+        return pa.table({"next": b.column(emit_col), "from": b.column(match_col)})
+
+    parts = list(
+        joined.map_batches(pick, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    if not parts:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    t = pa.concat_tables(parts)
+    return (
+        t.column("next").combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64),
+        t.column("from").combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64),
+    )
+
+
 def _hop(flow_ds, frontier: np.ndarray, direction: str):
-    """One broadcast-frontier hop; returns (next, from) numpy arrays."""
+    """One frontier hop; returns (next, from) numpy arrays.  Broadcast
+    filter below FRONTIER_BROADCAST_GATE, shuffle join above it."""
     import ray
 
+    if frontier.size > FRONTIER_BROADCAST_GATE:
+        return _hop_join(flow_ds, frontier, direction)
     fref = ray.put(frontier)
     hits = flow_ds.map_batches(
         _FrontierFilter,
