@@ -197,6 +197,85 @@ def cpg_call_resolution(sf_dir: str) -> pa.Table:
     )
 
 
+def cpg_fieldaccess_stats(sf_dir: str) -> pa.Table:
+    """FieldAccessLinkerPass surface: MEMBER declarations with global
+    Type.field keys, fieldAccess call sites carrying a probe, and REF
+    edges landing on members (reference
+    `typerelations/FieldAccessLinkerPass.scala:18-89`)."""
+    import ray.data
+
+    res = _cpg_paths(sf_dir)
+    nodes = ray.data.read_parquet(
+        res["nodes_path"], columns=["id", "label", "full_name", "method_full_name"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        fn = pc.coalesce(b.column("full_name"), pa.scalar(""))
+        members = b.filter(
+            pc.and_(pc.equal(b.column("label"), "MEMBER"), pc.not_equal(fn, ""))
+        )
+        probes = b.filter(
+            pc.and_(
+                pc.and_(pc.equal(b.column("label"), "CALL"), pc.not_equal(fn, "")),
+                pc.starts_with(
+                    pc.coalesce(b.column("method_full_name"), pa.scalar("")),
+                    "<operator>",
+                ),
+            )
+        )
+        mem_ids = members.column("id").combine_chunks().cast(pa.uint64())
+        return pa.table(
+            {
+                "n_members": pa.array(
+                    [members.num_rows] + [0] * max(0, len(mem_ids) - 1), pa.int64()
+                )
+                if len(mem_ids)
+                else pa.array([members.num_rows], pa.int64()),
+                "n_probes": pa.array(
+                    [probes.num_rows] + [0] * max(0, len(mem_ids) - 1), pa.int64()
+                )
+                if len(mem_ids)
+                else pa.array([probes.num_rows], pa.int64()),
+                "member_id": mem_ids if len(mem_ids) else pa.array([0], pa.uint64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(
+            nodes.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    n_members = pc.sum(parts.column("n_members")).as_py() or 0
+    n_probes = pc.sum(parts.column("n_probes")).as_py() or 0
+    mem_arr = pc.unique(
+        parts.filter(pc.not_equal(parts.column("member_id"), 0)).column("member_id")
+    )
+    edges = ray.data.read_parquet(res["edges_path"], columns=["pred", "obj"])
+
+    def linked(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(b.column("pred"), "REF"),
+            pc.is_in(b.column("obj"), value_set=mem_arr),
+        )
+        return pa.table({"n": pa.array([int(pc.sum(m).as_py() or 0)], pa.int64())})
+
+    lk = pa.concat_tables(
+        list(edges.map_batches(linked, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    )
+    n_linked = pc.sum(lk.column("n")).as_py() or 0
+    return pa.table(
+        {
+            "kind": pa.array(
+                ["members_keyed", "fieldaccess_probes", "member_ref_edges"],
+                pa.string(),
+            ),
+            "n": pa.array([n_members, n_probes, n_linked], pa.int64()),
+        }
+    )
+
+
 def cpg_typehint_stats(sf_dir: str) -> pa.Table:
     """XTypeHintCallLinker surface: calls carrying multi-hint lists, the
     distinct hint fqns, and speculative stubs under <speculatedMethods>
