@@ -314,6 +314,81 @@ class NodeSteps:
 
         return NodeSteps(self.cpg, self.cpg.nodes_ds().map_batches(pick, batch_format="pyarrow"))
 
+    def where_ast_ancestor(
+        self, labels: tuple[str, ...], code_regex: str | None = None,
+        max_depth: int = 32,
+    ) -> "NodeSteps":
+        """Keep nodes having a transitive AST ANCESTOR matching
+        `labels` (+ optional code regex) — per-NODE scoping (the
+        reference's `node.inAst.isControlStructure` used as a filter).
+        Owner-attributed BFS up the AST: each hop carries which original
+        nodes each ancestor covers, so one node's loop ancestor never
+        vouches for a sibling's (the url-scoped approximation this
+        replaces flagged any same-document node)."""
+        own = self._ids()
+        if not own:
+            return NodeSteps(self.cpg, self.ds)
+        larr = pa.array(list(labels), pa.string())
+        matched: set[int] = set()
+        # frontier: current ancestor id -> set of original ids it covers
+        frontier: dict[int, set] = {i: {i} for i in own}
+        for _ in range(max_depth):
+            pairs = []
+            farr = pa.array(list(frontier), pa.uint64())
+
+            def up(batch: pa.Table) -> pa.Table:
+                m = pc.and_(
+                    pc.equal(batch.column("pred"), "AST"),
+                    pc.is_in(batch.column("obj"), value_set=farr),
+                )
+                f = batch.filter(m)
+                return pa.table({"subj": f.column("subj"), "obj": f.column("obj")})
+
+            for b in (
+                self.cpg.edges_ds()
+                .map_batches(up, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+            ):
+                pairs.extend(
+                    zip(b.column("subj").to_pylist(), b.column("obj").to_pylist())
+                )
+            if not pairs:
+                break
+            parent_ids = {s for s, _o in pairs}
+            parr = pa.array(list(parent_ids), pa.uint64())
+
+            def pick(batch: pa.Table) -> pa.Table:
+                m = pc.and_(
+                    pc.is_in(batch.column("id"), value_set=parr),
+                    pc.is_in(batch.column("label"), value_set=larr),
+                )
+                if code_regex is not None:
+                    m = pc.and_(m, _full_match(batch.column("code"), code_regex))
+                return pa.table({"id": batch.filter(m).column("id")})
+
+            hits: set[int] = set()
+            for b in (
+                self.cpg.nodes_ds()
+                .map_batches(pick, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+            ):
+                hits.update(b.column("id").to_pylist())
+            nxt: dict[int, set] = {}
+            for s, o in pairs:
+                owners = frontier.get(o, set())
+                if not owners:
+                    continue
+                nxt.setdefault(s, set()).update(owners)
+                if s in hits:
+                    matched.update(owners)
+            frontier = nxt
+            if matched >= own:
+                break
+        arr = pa.array(list(matched) or [0], pa.uint64())
+        return self._filter(
+            lambda b: b.filter(pc.is_in(b.column("id"), value_set=arr))
+        )
+
     def where(self, fn) -> "NodeSteps":
         """Keep nodes for which `fn(single-node steps)` is non-empty —
         the reference `where` combinator as a set-semijoin: fn is applied

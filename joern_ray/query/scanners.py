@@ -124,18 +124,20 @@ def q_free_use(cpg: Cpg) -> pa.Table:
 
 
 def q_large_stack_buffer(cpg: Cpg) -> pa.Table:
-    """LOCALs with large array types (`c/StackBuffers` shape)."""
-    locs = cpg.local().l(["url", "line", "code", "type_full_name"])
-    big = []
-    for i, tfn in enumerate(locs.column("type_full_name").to_pylist()):
-        if tfn and "[" in tfn:
-            try:
-                size = int("".join(ch for ch in tfn.split("[")[1] if ch.isdigit()) or 0)
-            except ValueError:
-                size = 0
-            if size >= 128:
-                big.append(i)
-    t = locs.take(big) if big else locs.slice(0, 0)
+    """LOCALs with large array types (`c/StackBuffers` shape).  The
+    array-size predicate runs as a streamed vectorized filter inside
+    each batch (extract_regex + cast + compare) — only hits ever reach
+    the driver; LOCALs are O(graph)."""
+
+    def _big_arrays(b: pa.Table) -> pa.Table:
+        tfn = pc.coalesce(b.column("type_full_name"), pa.scalar(""))
+        ex = pc.extract_regex(tfn, r"\[\s*(?P<n>\d+)")
+        size = pc.cast(
+            pc.coalesce(pc.struct_field(ex, "n"), pa.scalar("0")), pa.int64()
+        )
+        return b.filter(pc.greater_equal(size, 128))
+
+    t = cpg.local()._filter(_big_arrays).l(["url", "line", "code"])
     return _findings(t, "large-stack-buffer", "large stack buffer")
 
 
@@ -256,15 +258,13 @@ def q_copy_loop(cpg: Cpg) -> pa.Table:
     assigns = cpg.call().name_exact("<operator>.assignment").code(
         r".*\w+\[\w+\]\s*=\s*\w+\[.*"
     )
-    t = assigns.l(["id", "url", "line", "code"])
-    if not t.num_rows:
-        return _findings(t, "copy-loop", "")
-    loops = assigns.in_ast().where_label("CONTROL_STRUCTURE").code(
-        r"\s*(for|while)\b.*"
-    )
-    loop_urls = set(loops.l(["url"]).column("url").to_pylist())
-    keep = pc.is_in(t.column("url"), value_set=pa.array(sorted(loop_urls) or [""]))
-    return _findings(t.filter(keep), "copy-loop", "unbounded index copy in loop")
+    # per-ASSIGNMENT scoping: owner-attributed ancestor walk — only
+    # assignments whose OWN AST ancestry crosses a for/while survive
+    # (an unrelated a[i]=b[i] elsewhere in the same document does not)
+    t = assigns.where_ast_ancestor(
+        ("CONTROL_STRUCTURE",), r"\s*(for|while)\b.*"
+    ).l(["url", "line", "code"])
+    return _findings(t, "copy-loop", "unbounded index copy in loop")
 
 
 def q_strlen_truncation(cpg: Cpg) -> pa.Table:
@@ -283,7 +283,25 @@ def q_strlen_truncation(cpg: Cpg) -> pa.Table:
     )
     if not assigns.num_rows:
         return _findings(assigns.append_column("code2", pa.array([], pa.string())).drop(["code2"]), "strlen-truncation", "")
-    locs = cpg.local().l(["url", "name", "type_full_name"])
+    # streamed filter: only NARROW-typed locals in documents that contain
+    # a strlen assignment ever reach the driver (both predicates pushed
+    # into the scan; the probe set is O(matched assignments))
+    urls = pa.array(sorted(set(assigns.column("url").to_pylist())), pa.string())
+    narrow_types = pa.array(
+        ["int", "short", "unsigned int", "unsigned short", "char"], pa.string()
+    )
+    locs = (
+        cpg.local()
+        ._filter(
+            lambda b: b.filter(
+                pc.and_(
+                    pc.is_in(b.column("url"), value_set=urls),
+                    pc.is_in(b.column("type_full_name"), value_set=narrow_types),
+                )
+            )
+        )
+        .l(["url", "name", "type_full_name"])
+    )
     narrow = {
         (u, n)
         for u, n, t in zip(
@@ -370,22 +388,67 @@ def q_retval_unchecked(cpg: Cpg) -> pa.Table:
 
 def q_toctou(cpg: Cpg) -> pa.Table:
     """`c/FileOpRace.scala:14-36` — access() check followed by open() in
-    the same method (time-of-check/time-of-use race)."""
-    acc = cpg.call("^access$")
-    acc_methods = set(
-        acc.in_ast().where_label("METHOD").l(["id"]).column("id").to_pylist()
+    the SAME method (time-of-check/time-of-use race).  Per-call method
+    attribution rides the CONTAINS shortcut edges (METHOD -> descendant,
+    ContainsEdgePass), so an access() in one method never gets flagged
+    because some other method pairs access with open."""
+    acc = cpg.call("^access$").l(["id", "url", "line", "code"])
+    opn_ids = set(
+        cpg.call("^(open|fopen)$").l(["id"]).column("id").to_pylist()
     )
-    opn = cpg.call("^(open|fopen)$")
-    opn_methods = set(
-        opn.in_ast().where_label("METHOD").l(["id"]).column("id").to_pylist()
+    acc_ids = set(acc.column("id").to_pylist())
+    empty = pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "line": pa.array([], pa.int32()),
+            "code": pa.array([], pa.string()),
+        }
     )
-    both = acc_methods & opn_methods
-    if not both:
-        return _findings(
-            pa.table({"url": pa.array([], pa.string()), "line": pa.array([], pa.int32()), "code": pa.array([], pa.string())}),
-            "toctou-race", "",
+    if not acc_ids or not opn_ids:
+        return _findings(empty, "toctou-race", "")
+    # one streamed CONTAINS scan for both probe sets -> (container, call)
+    probe = pa.array(sorted(acc_ids | opn_ids), pa.uint64())
+
+    def pick(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(b.column("pred"), "CONTAINS"),
+            pc.is_in(b.column("obj"), value_set=probe),
         )
-    t = acc.l(["url", "line", "code"])
+        f = b.filter(m)
+        return pa.table({"subj": f.column("subj"), "obj": f.column("obj")})
+
+    pairs: list[tuple[int, int]] = []
+    for b in (
+        cpg.edges_ds()
+        .map_batches(pick, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        pairs.extend(zip(b.column("subj").to_pylist(), b.column("obj").to_pylist()))
+    # restrict containers to METHODs (CONTAINS also runs from TYPE_DECL;
+    # class-level co-location is not a race)
+    cont_ids = {s for s, _o in pairs}
+    carr = pa.array(sorted(cont_ids) or [0], pa.uint64())
+    mrows = (
+        cpg.method()
+        ._filter(lambda b: b.filter(pc.is_in(b.column("id"), value_set=carr)))
+        .l(["id"])
+    )
+    method_ids = set(mrows.column("id").to_pylist())
+    acc_m: dict[int, set] = {}
+    opn_m: set[int] = set()
+    for s, o in pairs:
+        if s not in method_ids:
+            continue
+        if o in acc_ids:
+            acc_m.setdefault(o, set()).add(s)
+        if o in opn_ids:
+            opn_m.add(s)
+    hit = sorted(cid for cid, ms in acc_m.items() if ms & opn_m)
+    if not hit:
+        return _findings(empty, "toctou-race", "")
+    t = acc.filter(
+        pc.is_in(acc.column("id"), value_set=pa.array(hit, pa.uint64()))
+    )
     return _findings(t, "toctou-race", "access() check races the later open()")
 
 
@@ -554,7 +617,7 @@ BUNDLE: tuple[Query, ...] = (
         ("c", "cwe-120"),
         CodeExamples(
             "void cp(char *d, char *s, int n) {\n  for (int i = 0; i < n; i++) {\n    d[i] = s[i];\n  }\n}\n",
-            "void cp_ok(char *d, char *s) {\n  d[0] = s[0];\n}\n",
+            "void cp_ok(char *d, char *s, int n) {\n  for (int i = 0; i < n; i++) {\n    d[i] = 0;\n  }\n  d[0] = s[0];\n}\n",
         ),
     ),
     Query(
@@ -585,7 +648,7 @@ BUNDLE: tuple[Query, ...] = (
         "toctou-race", "access/open race", 7.0, q_toctou, ("c", "cwe-367"),
         CodeExamples(
             "int chk(char *p) {\n  if (access(p, 0) == 0) {\n    int fd = open(p, 0);\n    return fd;\n  }\n  return -1;\n}\n",
-            "int chk_ok(char *p) {\n  int fd = open(p, 0);\n  return fd;\n}\n",
+            "int probe_ok(char *p) {\n  int r = access(p, 0);\n  return r;\n}\nint opener_ok(char *p) {\n  int fd = open(p, 0);\n  return fd;\n}\n",
         ),
     ),
     Query(

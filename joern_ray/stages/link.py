@@ -1219,7 +1219,9 @@ def salted_call_link(
             # in another salt — drop, the fx=0 row covers the call)
             fb = facts_b.filter(pc.equal(facts_b.column("fx"), 0))
             if fb.num_rows == 0:
-                return EDGES_SCHEMA.empty_table()
+                return (
+                    pa.concat_tables(parts) if parts else EDGES_SCHEMA.empty_table()
+                )
             obj = np.full(
                 fb.num_rows, stub_id(fb.column("fqn")[0].as_py()), dtype=np.uint64
             )

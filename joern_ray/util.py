@@ -52,6 +52,11 @@ def bucketed_group_agg(ds, keys, aggs, num_buckets=32, seed=11):
     reaggs = [
         (f"{c}_{f}", "sum" if f == "count" else f) for c, f in aggs
     ]
+    # pyarrow names hash-aggregate outputs "{col}_{fn}" but the COLUMN
+    # ORDER (keys-first vs aggregates-first) is version-dependent, so we
+    # always select by NAME rather than renaming positionally.
+    map_names = list(keys) + [f"{c}_{f}" for c, f in aggs]
+    red_names = list(keys) + [f"{c}_{f2}" for (c, f2) in reaggs]
 
     def _bucket_col(t: pa.Table) -> pa.Table:
         h = None
@@ -62,11 +67,11 @@ def bucketed_group_agg(ds, keys, aggs, num_buckets=32, seed=11):
         return t.append_column("__bkt", pa.array(bucket, pa.int64()))
 
     def _map_combine(t: pa.Table) -> pa.Table:
-        g = t.group_by(keys).aggregate(aggs)
+        g = t.group_by(keys).aggregate(aggs).select(map_names)
         return _bucket_col(g.rename_columns(out_names))
 
     def _reduce_combine(g: pa.Table) -> pa.Table:
-        t = g.drop(["__bkt"]).group_by(keys).aggregate(reaggs)
+        t = g.drop(["__bkt"]).group_by(keys).aggregate(reaggs).select(red_names)
         return t.rename_columns(out_names)
 
     return (
