@@ -487,61 +487,114 @@ def build_cpg(
     # checkpoint's Parquet footers+columns — tiny (only declarations
     # participating in inheritance), no Ray execution.
     link_regime = "broadcast" if use_broadcast else "salted_shuffle"
-    if n_mt:
-        td_proj = (
-            pads.dataset(canon_path, format="parquet")
-            .to_table(
-                columns=["label", "full_name", "type_full_name"],
-                filter=(
-                    (pads.field("label") == "TYPE_DECL")
-                    & (pads.field("type_full_name") != "")
-                ),
-            )
-        )
-    else:
-        td_proj = pa.table(
-            {
-                "label": pa.array([], pa.string()),
-                "full_name": pa.array([], pa.string()),
-                "type_full_name": pa.array([], pa.string()),
-            }
-        )
-    from ..stages.link import build_dyn_candidates
+    from ..stages.link import (
+        build_dyn_candidates,
+        dyn_candidates_distributed,
+        dyn_table_to_map,
+    )
 
-    # Control plane (SAFEDISPATCH candidates + NaiveCallLinker): the
-    # candidate maps are built from the aggregated-survey key sets —
-    # O(distinct method+call FQNs) driver memory, so they are GATED.
-    # Above the gate the maps stay empty: dynamic calls then resolve
-    # statically or to stubs (the conservative degradation; the
-    # distributed alternative is the iterative INHERITS_FROM self-join,
-    # SURVEY.md §2.4 row 3).
+    # Control plane (SAFEDISPATCH candidates + NaiveCallLinker).  Two
+    # regimes (parity-tested, tests/test_dynlink_distributed.py):
+    # - driver (below JOERN_RAY_DYN_GATE): collect the survey key sets
+    #   (O(distinct method+call FQNs)) and walk the hierarchy in-memory.
+    # - distributed (above the gate): the iterative INHERITS_FROM
+    #   self-join (SURVEY.md §2.4 row 3) — doubling closure over the
+    #   TYPE_DECL hierarchy + candidate/naive joins, all as Dataset
+    #   joins; only the RESULT (O(dyn candidate pairs), the broadcast
+    #   side both link regimes consume) reaches the driver.  Dynamic
+    #   dispatch no longer silently degrades past the gate.
     dyn_driver_gate = int(os.environ.get("JOERN_RAY_DYN_GATE", 20_000_000))
-    if n_methods + n_calls <= dyn_driver_gate:
+    dyn_regime = (
+        "driver" if n_methods + n_calls <= dyn_driver_gate else "distributed"
+    )
+    if dyn_regime == "driver":
+        if n_mt:
+            td_proj = (
+                pads.dataset(canon_path, format="parquet")
+                .to_table(
+                    columns=["label", "full_name", "type_full_name"],
+                    filter=(
+                        (pads.field("label") == "TYPE_DECL")
+                        & (pads.field("type_full_name") != "")
+                    ),
+                )
+            )
+        else:
+            td_proj = pa.table(
+                {
+                    "label": pa.array([], pa.string()),
+                    "full_name": pa.array([], pa.string()),
+                    "type_full_name": pa.array([], pa.string()),
+                }
+            )
         known = frozenset(_sv_keys(_f("m_c") > 0))
         ca_fqns = _sv_keys(_f("ca_c") > 0)
+        dyn_fqn = build_dyn_candidates(td_proj, ca_fqns, known)
+        # NaiveCallLinker fallback (reference `NaiveCallLinker.scala:
+        # 12-29`): a dotted call fqn that neither resolves by full name
+        # nor by dynamic dispatch links to the UNIQUE known method
+        # sharing its terminal name (ambiguous names stay stubs).
+        # Riding the dyn-candidate machinery makes both link regimes
+        # handle it identically.
+        name_to_fqns: dict[str, list[str]] = {}
+        for f in known:
+            name_to_fqns.setdefault(f.rsplit(".", 1)[-1], []).append(f)
+        for fqn in ca_fqns:
+            if (
+                fqn in known
+                or fqn in dyn_fqn
+                or "." not in fqn
+                or fqn.startswith("<operator>")
+            ):
+                continue
+            cands = name_to_fqns.get(fqn.rsplit(".", 1)[-1])
+            if cands and len(cands) == 1:
+                dyn_fqn[fqn] = [cands[0]]
     else:
-        known = frozenset()
-        ca_fqns = []
-    dyn_fqn = build_dyn_candidates(td_proj, ca_fqns, known)
-    # NaiveCallLinker fallback (reference `NaiveCallLinker.scala:12-29`):
-    # a dotted call fqn that neither resolves by full name nor by
-    # dynamic dispatch links to the UNIQUE known method sharing its
-    # terminal name (ambiguous names stay stubs).  Riding the dyn-
-    # candidate machinery makes both link regimes handle it identically.
-    name_to_fqns: dict[str, list[str]] = {}
-    for f in known:
-        name_to_fqns.setdefault(f.rsplit(".", 1)[-1], []).append(f)
-    for fqn in ca_fqns:
-        if (
-            fqn in known
-            or fqn in dyn_fqn
-            or "." not in fqn
-            or fqn.startswith("<operator>")
-        ):
-            continue
-        cands = name_to_fqns.get(fqn.rsplit(".", 1)[-1])
-        if cands and len(cands) == 1:
-            dyn_fqn[fqn] = [cands[0]]
+        if n_mt:
+
+            def _td_filter(b: pa.Table) -> pa.Table:
+                m = pc.and_(
+                    pc.equal(b.column("label"), "TYPE_DECL"),
+                    pc.not_equal(
+                        pc.coalesce(b.column("type_full_name"), pa.scalar("")), ""
+                    ),
+                )
+                return b.filter(m).select(["full_name", "type_full_name"])
+
+            td_ds = ray.data.read_parquet(
+                canon_path, columns=["label", "full_name", "type_full_name"]
+            ).map_batches(_td_filter, batch_format="pyarrow")
+        else:
+            td_ds = ray.data.from_arrow(
+                pa.table(
+                    {
+                        "full_name": pa.array([], pa.string()),
+                        "type_full_name": pa.array([], pa.string()),
+                    }
+                )
+            )
+
+        def _skey_pick(col: str):
+            def f(b: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "fqn": b.filter(
+                            pc.greater(b.column(col), 0)
+                        ).column("skey")
+                    }
+                )
+
+            return f
+
+        sv_cols = ray.data.read_parquet(svagg_path, columns=["skey", "m_c", "ca_c"])
+        dyn_fqn = dyn_table_to_map(
+            dyn_candidates_distributed(
+                td_ds,
+                sv_cols.map_batches(_skey_pick("ca_c"), batch_format="pyarrow"),
+                sv_cols.map_batches(_skey_pick("m_c"), batch_format="pyarrow"),
+            )
+        )
     dyn_ref = ray.put(dyn_fqn)
     _mark("control_plane")
     if use_broadcast:
@@ -979,6 +1032,7 @@ def build_cpg(
         "n_stubs": n_stubs,
         "n_hot_keys": len(hot_keys),
         "n_dyn_fqns": len(dyn_fqn),
+        "dyn_regime": dyn_regime,
     }
     with open(os.path.join(out_dir, "build_stats.json"), "w") as f:
         _json.dump(_stats, f, indent=1)
@@ -998,5 +1052,6 @@ def build_cpg(
         "n_stubs": n_stubs,
         "n_hot_keys": len(hot_keys),
         "n_dyn_fqns": len(dyn_fqn),
+        "dyn_regime": dyn_regime,
         "resumed": False,
     }

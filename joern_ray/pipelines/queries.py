@@ -1234,7 +1234,7 @@ def usage_slice_stats(sf_dir: str) -> pa.Table:
     per = usage_slices(edges_f)
 
     def hist_partial(batch: pa.Table) -> pa.Table:
-        vc = batch.column("sum(n_uses)").combine_chunks().value_counts()
+        vc = batch.column("n_uses").combine_chunks().value_counts()
         return pa.table(
             {
                 "n_uses": vc.field("values").cast(pa.int64()),
@@ -1242,6 +1242,10 @@ def usage_slice_stats(sf_dir: str) -> pa.Table:
             }
         )
 
-    out = per.map_batches(hist_partial, batch_format="pyarrow").groupby("n_uses").sum("c")
+    from ..util import bucketed_group_agg
+
+    out = bucketed_group_agg(
+        per.map_batches(hist_partial, batch_format="pyarrow"), ["n_uses"], [("c", "sum")]
+    )
     t = _collect(out).rename_columns(["n_uses", "n_decls"])
     return t.sort_by("n_uses")

@@ -630,6 +630,535 @@ def build_dyn_candidates(
     return dyn
 
 
+def _dedup_pairs(ds, keys, num_buckets: int):
+    """Distinct rows by `keys` (vectorized bucketed dedup)."""
+    from ..util import bucketed_group_agg
+
+    cnt = f"{keys[0]}_count"
+    return bucketed_group_agg(
+        ds, list(keys), [(keys[0], "count")], num_buckets=num_buckets
+    ).map_batches(lambda b, c=cnt, k=list(keys): b.select(k), batch_format="pyarrow")
+
+
+def dyn_candidates_distributed(
+    td_ds,
+    calls_ds,
+    methods_ds,
+    max_depth: int = 16,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Distributed SAFEDISPATCH candidate construction — the over-gate
+    regime of `build_dyn_candidates` (reference `DynamicCallLinker.scala:
+    29-221`; SURVEY.md §2.4 row 3's iterative INHERITS_FROM self-join).
+
+    Inputs are Datasets: `td_ds` (full_name, type_full_name) TYPE_DECL
+    inheritance rows; `calls_ds` (fqn) distinct call fqns; `methods_ds`
+    (fqn) distinct known method fqns.  Nothing of O(methods+calls) ever
+    reaches the driver: the hierarchy closure is a doubling self-join
+    (log2(max_depth) rounds of Dataset.join + vectorized bucketed
+    dedup), candidate generation and the known-method membership checks
+    are joins, and the NaiveCallLinker unique-name fallback is a
+    bucketed group-count.  Only the RESULT — (call fqn, candidate fqn,
+    rank) pairs for calls that actually participate in dynamic dispatch,
+    O(dyn pairs), orders of magnitude below O(distinct fqns) — is
+    collected, because both link regimes consume the candidate map as a
+    broadcast side.  Returns a pa.Table (fqn, cand, rank) with rank
+    0=self, 1=superclass fallback, 2=subclass override, 3=naive
+    unique-name; `build_dyn_candidates`-parity is asserted by
+    tests/test_dynlink_distributed.py."""
+    import math
+
+    import polars as pl
+    import ray
+
+    from ..util import bucketed_join
+
+    if num_partitions is None:
+        n_cpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = max(2, min(16, n_cpu))
+    nb = num_partitions
+
+    def _unlarge(t: pa.Table) -> pa.Table:
+        # polars .to_arrow() emits large_string; Dataset.join requires
+        # key dtypes to MATCH across sides — normalize to string
+        fields = [
+            pa.field(f.name, pa.string() if f.type == pa.large_string() else f.type)
+            for f in t.schema
+        ]
+        return t.cast(pa.schema(fields))
+
+    def _pl(fn):
+        def inner(b: pa.Table) -> pa.Table:
+            out = fn(pl.from_arrow(b))
+            return _unlarge(out.to_arrow())
+
+        return inner
+
+    S, I = pa.string(), pa.int64()
+
+    # ---- parent edge lists (all-parents P; first-parent chain P0) -----
+    def explode_parents(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).filter(
+            ~pl.col("type_full_name").str.starts_with("alias:")
+        )
+        out = (
+            df.with_columns(pl.col("type_full_name").str.split(";").alias("ps"))
+            .explode("ps")
+            .filter(pl.col("ps") != "")
+            .select(
+                pl.col("ps").alias("anc"), pl.col("full_name").alias("desc")
+            )
+        )
+        return _unlarge(out.to_arrow())
+
+    def first_parent(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).filter(
+            ~pl.col("type_full_name").str.starts_with("alias:")
+        )
+        out = (
+            df.with_columns(
+                pl.col("type_full_name")
+                .str.split(";")
+                .list.eval(pl.element().filter(pl.element() != ""))
+                .list.first()
+                .alias("canc")
+            )
+            .filter(pl.col("canc").is_not_null())
+            .select(
+                pl.col("full_name").alias("ct"),
+                pl.col("canc"),
+                pl.lit(1, dtype=pl.Int64).alias("dist"),
+            )
+        )
+        return _unlarge(out.to_arrow())
+
+    _EMPTY_OUT = pa.table(
+        {
+            "fqn": pa.array([], pa.string()),
+            "cand": pa.array([], pa.string()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+
+    # ---- call split (fqn -> receiver type t + terminal m) -------------
+    def split_calls(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).filter(
+            pl.col("fqn").str.contains(".", literal=True)
+            & ~pl.col("fqn").str.starts_with("<operator>")
+        )
+        out = df.with_columns(
+            pl.col("fqn").str.extract(r"^(.*)\.([^.]*)$", 1).alias("t"),
+            pl.col("fqn").str.extract(r"^(.*)\.([^.]*)$", 2).alias("m"),
+        ).filter(pl.col("t").is_not_null())
+        return _unlarge(out.to_arrow())
+
+    calls = calls_ds.map_batches(split_calls, batch_format="pyarrow").materialize()
+    meth = methods_ds.map_batches(
+        _pl(lambda df: df.select(pl.col("fqn").alias("mfqn"))),
+        batch_format="pyarrow",
+    ).materialize()
+    # no dotted calls or no known methods -> nothing can resolve; empty
+    # intermediate datasets also produce schema-less join blocks that
+    # crash downstream joins (dedup.py gotcha), so short-circuit early
+    if calls.count() == 0 or meth.count() == 0:
+        return _EMPTY_OUT
+
+    P = td_ds.map_batches(explode_parents, batch_format="pyarrow").materialize()
+    rounds = max(1, math.ceil(math.log2(max_depth)))
+    has_hier = P.count() > 0
+
+    # ---- descendant closure D(anc, desc), depth <= 2^rounds -----------
+    D = P
+    for _ in range(rounds if has_hier else 0):
+        before = D.count()
+        right = D.map_batches(
+            _pl(lambda df: df.rename({"anc": "r_anc", "desc": "r_desc"})),
+            batch_format="pyarrow",
+        )
+        step = (
+            bucketed_join(
+                D,
+                [("anc", S), ("desc", S)],
+                right,
+                [("r_anc", S), ("r_desc", S)],
+                on=["desc"],
+                right_on=["r_anc"],
+                num_buckets=nb,
+            )
+            .map_batches(
+                _pl(lambda df: df.select(pl.col("anc"), pl.col("r_desc").alias("desc"))),
+                batch_format="pyarrow",
+            )
+        )
+        D = _dedup_pairs(D.union(step), ("anc", "desc"), nb).materialize()
+        if D.count() == before:
+            break
+
+    # ---- first-parent chain C(ct, canc, dist), dist <= 2^rounds -------
+    C = td_ds.map_batches(first_parent, batch_format="pyarrow").materialize()
+    has_chain = C.count() > 0
+    for _ in range(rounds if has_chain else 0):
+        before = C.count()
+        right = C.map_batches(
+            _pl(
+                lambda df: df.select(
+                    pl.col("ct").alias("r_ct"),
+                    pl.col("canc").alias("r_canc"),
+                    pl.col("dist").alias("r_dist"),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        step = (
+            bucketed_join(
+                C,
+                [("ct", S), ("canc", S), ("dist", I)],
+                right,
+                [("r_ct", S), ("r_canc", S), ("r_dist", I)],
+                on=["canc"],
+                right_on=["r_ct"],
+                num_buckets=nb,
+            )
+            .map_batches(
+                _pl(
+                    lambda df: df.select(
+                        pl.col("ct"),
+                        pl.col("r_canc").alias("canc"),
+                        (pl.col("dist") + pl.col("r_dist")).alias("dist"),
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        from ..util import bucketed_group_agg
+
+        C = (
+            bucketed_group_agg(
+                C.union(step), ["ct", "canc"], [("dist", "min")], num_buckets=nb
+            )
+            .map_batches(
+                _pl(lambda df: df.rename({"dist_min": "dist"})),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        if C.count() == before:
+            break
+
+    def _rank_col(ds, rank: int):
+        return ds.map_batches(
+            _pl(lambda df, r=rank: df.with_columns(pl.lit(r, dtype=pl.Int64).alias("rank"))),
+            batch_format="pyarrow",
+        )
+
+    # rank 0: the call fqn itself is a known method
+    selfc = (
+        bucketed_join(
+            calls,
+            [("fqn", S), ("t", S), ("m", S)],
+            meth,
+            [("mfqn", S)],
+            on=["fqn"],
+            right_on=["mfqn"],
+            num_buckets=nb,
+        )
+        .map_batches(
+            _pl(lambda df: df.select(pl.col("fqn"), pl.col("fqn").alias("cand"))),
+            batch_format="pyarrow",
+        )
+    )
+
+    # rank 2: subclass overrides — calls x descendant closure x known
+    subc = None
+    if has_hier and D.count() > 0:
+        subc = (
+            bucketed_join(
+                calls,
+                [("fqn", S), ("t", S), ("m", S)],
+                D,
+                [("anc", S), ("desc", S)],
+                on=["t"],
+                right_on=["anc"],
+                num_buckets=nb,
+            )
+            .map_batches(
+                _pl(
+                    lambda df: df.select(
+                        pl.col("fqn"),
+                        (pl.col("desc") + pl.lit(".") + pl.col("m")).alias("cand"),
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        subc = (
+            bucketed_join(
+                subc,
+                [("fqn", S), ("cand", S)],
+                meth,
+                [("mfqn", S)],
+                on=["cand"],
+                right_on=["mfqn"],
+                num_buckets=nb,
+            )
+            .map_batches(
+                _pl(lambda df: df.select(pl.col("fqn"), pl.col("cand"))),
+                batch_format="pyarrow",
+            )
+        )
+
+    # unknown calls (left-anti via left_outer + marker-null filter; the
+    # join output drops the right KEY column, so a non-key marker column
+    # carries match evidence)
+    meth_marked = meth.map_batches(
+        _pl(lambda df: df.with_columns(pl.lit(1, dtype=pl.Int64).alias("is_m"))),
+        batch_format="pyarrow",
+    )
+    unknown = (
+        bucketed_join(
+            calls,
+            [("fqn", S), ("t", S), ("m", S)],
+            meth_marked,
+            [("mfqn", S), ("is_m", I)],
+            on=["fqn"],
+            right_on=["mfqn"],
+            how="left_outer",
+            num_buckets=nb,
+        )
+        .map_batches(
+            _pl(
+                lambda df: df.filter(pl.col("is_m").is_null()).select(
+                    pl.col("fqn"), pl.col("t"), pl.col("m")
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    n_unknown = unknown.count()
+    from ..util import bucketed_group_agg
+
+    # rank 1: nearest first-parent-chain ancestor defining m
+    fallb = None
+    if has_chain and n_unknown:
+        fall_rows = (
+            bucketed_join(
+                unknown,
+                [("fqn", S), ("t", S), ("m", S)],
+                C,
+                [("ct", S), ("canc", S), ("dist", I)],
+                on=["t"],
+                right_on=["ct"],
+                num_buckets=nb,
+            )
+            .map_batches(
+                _pl(
+                    lambda df: df.select(
+                        pl.col("fqn"),
+                        (pl.col("canc") + pl.lit(".") + pl.col("m")).alias("cand"),
+                        pl.col("dist"),
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        fall_rows = bucketed_join(
+            fall_rows,
+            [("fqn", S), ("cand", S), ("dist", I)],
+            meth,
+            [("mfqn", S)],
+            on=["cand"],
+            right_on=["mfqn"],
+            num_buckets=nb,
+        ).materialize()
+        if fall_rows.count():
+            nearest = (
+                bucketed_group_agg(
+                    fall_rows, ["fqn"], [("dist", "min")], num_buckets=nb
+                )
+                .map_batches(
+                    _pl(lambda df: df.rename({"dist_min": "dist"})),
+                    batch_format="pyarrow",
+                )
+            )
+            fallb = (
+                bucketed_join(
+                    fall_rows.map_batches(
+                        _pl(
+                            lambda df: df.rename({"fqn": "f_fqn", "dist": "f_dist"})
+                        ),
+                        batch_format="pyarrow",
+                    ),
+                    [("f_fqn", S), ("cand", S), ("f_dist", I)],
+                    nearest,
+                    [("fqn", S), ("dist", I)],
+                    on=["f_fqn", "f_dist"],
+                    right_on=["fqn", "dist"],
+                    num_buckets=nb,
+                )
+                .map_batches(
+                    _pl(
+                        lambda df: df.select(
+                            pl.col("f_fqn").alias("fqn"), pl.col("cand")
+                        )
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+
+    # combine + emission rule: drop fqns whose ONLY row is the self row
+    cand_union = _rank_col(selfc, 0)
+    if fallb is not None:
+        cand_union = cand_union.union(_rank_col(fallb, 1))
+    if subc is not None:
+        cand_union = cand_union.union(_rank_col(subc, 2))
+    all_c = _dedup_pairs(cand_union, ("fqn", "cand", "rank"), nb).materialize()
+    dyn_rows = None
+    if all_c.count():
+        stats = (
+            bucketed_group_agg(
+                all_c, ["fqn"], [("cand", "count"), ("rank", "min")], num_buckets=nb
+            )
+            .map_batches(
+                _pl(
+                    lambda df: df.filter(
+                        ~((pl.col("cand_count") == 1) & (pl.col("rank_min") == 0))
+                    ).select(pl.col("fqn").alias("k_fqn"))
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        dyn_rows = bucketed_join(
+            all_c,
+            [("fqn", S), ("cand", S), ("rank", I)],
+            stats,
+            [("k_fqn", S)],
+            on=["fqn"],
+            right_on=["k_fqn"],
+            num_buckets=nb,
+        ).materialize()
+        if dyn_rows.count() == 0:
+            dyn_rows = None
+
+    # rank 3: NaiveCallLinker — unresolved dotted call links to the
+    # UNIQUE known method sharing its terminal name
+    uniq_names = (
+        bucketed_group_agg(
+            meth.map_batches(
+                _pl(
+                    lambda df: df.with_columns(
+                        pl.col("mfqn")
+                        .str.extract(r"(?:^|\.)([^.]*)$", 1)
+                        .alias("mname")
+                    )
+                ),
+                batch_format="pyarrow",
+            ),
+            ["mname"],
+            [("mfqn", "count"), ("mfqn", "min")],
+            num_buckets=nb,
+        )
+        .map_batches(
+            _pl(
+                lambda df: df.filter(pl.col("mfqn_count") == 1).select(
+                    pl.col("mname"), pl.col("mfqn_min").alias("cand")
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    naive = None
+    if n_unknown:
+        naive_src = unknown
+        if dyn_rows is not None:
+            dyn_keys = _dedup_pairs(
+                dyn_rows.map_batches(
+                    _pl(lambda df: df.select(pl.col("fqn").alias("d_fqn"))),
+                    batch_format="pyarrow",
+                ),
+                ("d_fqn",),
+                nb,
+            ).map_batches(
+                _pl(
+                    lambda df: df.with_columns(
+                        pl.lit(1, dtype=pl.Int64).alias("is_d")
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+            naive_src = bucketed_join(
+                unknown,
+                [("fqn", S), ("t", S), ("m", S)],
+                dyn_keys,
+                [("d_fqn", S), ("is_d", I)],
+                on=["fqn"],
+                right_on=["d_fqn"],
+                how="left_outer",
+                num_buckets=nb,
+            ).map_batches(
+                _pl(
+                    lambda df: df.filter(pl.col("is_d").is_null()).select(
+                        pl.col("fqn"), pl.col("t"), pl.col("m")
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+        naive = (
+            bucketed_join(
+                naive_src,
+                [("fqn", S), ("t", S), ("m", S)],
+                uniq_names,
+                [("mname", S), ("cand", S)],
+                on=["m"],
+                right_on=["mname"],
+                num_buckets=nb,
+            )
+            .map_batches(
+                _pl(
+                    lambda df: df.select(
+                        pl.col("fqn"),
+                        pl.col("cand"),
+                        pl.lit(3, dtype=pl.Int64).alias("rank"),
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    final = dyn_rows
+    if naive is not None:
+        final = naive if final is None else final.union(naive)
+    if final is None:
+        return _EMPTY_OUT
+    out_parts: list[pa.Table] = []
+    for b in final.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            out_parts.append(b.select(["fqn", "cand", "rank"]))
+    if not out_parts:
+        return _EMPTY_OUT
+    return pa.concat_tables(out_parts)
+
+
+def dyn_table_to_map(t: pa.Table) -> dict[str, list[str]]:
+    """(fqn, cand, rank) rows -> fqn -> ordered candidate list (self /
+    fallback first, then sorted subclass overrides — the
+    `build_dyn_candidates` order)."""
+    rows = sorted(
+        zip(
+            t.column("fqn").to_pylist(),
+            t.column("rank").to_pylist(),
+            t.column("cand").to_pylist(),
+        )
+    )
+    out: dict[str, list[str]] = {}
+    for fqn, _rank, cand in rows:
+        lst = out.setdefault(fqn, [])
+        if cand not in lst:
+            lst.append(cand)
+    return out
+
+
 def unresolved_stub_dimension(calls_ds, index_table: pa.Table) -> pa.Table:
     """Distinct unresolved method_full_names -> stub METHOD rows
     (reference `MethodStubCreator.scala:24-70`: one stub per distinct

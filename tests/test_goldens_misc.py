@@ -233,3 +233,98 @@ def test_method_vector_determinism_and_shape():
         "int mul(int a, int b) {\n  return a * b;\n}\n", "u", 0
     )
     assert not np.allclose(v1, method_feature_vector(other))
+
+
+STUB_DOC = (
+    '<html><body><pre><code class="language-c">'
+    "int go(int a, int b, int c) {\n"
+    "  return frobnicate(a, b, c);\n"
+    "}\n"
+    "int go2(int a) {\n"
+    "  return frobnicate(a);\n"
+    "}\n"
+    "</code></pre></body></html>"
+)
+
+
+def test_callsummary_stub_arity(ray_session, tmp_path_factory):
+    """CallSummary -> MethodStubCreator golden (reference
+    `MethodStubCreator.scala:24-70`): an unresolved 3-arg call produces
+    a stub METHOD whose signature carries MAX-arity ANY parameters
+    (`ANY(ANY,ANY,ANY)`) even when another call site passes fewer."""
+    import ray.data
+
+    from joern_ray.pipelines.cpg import build_cpg
+
+    out = str(tmp_path_factory.mktemp("stubarity") / "cpg")
+
+    def docs_factory(columns):
+        t = pa.table(
+            {
+                "url": ["https://stub/1"],
+                "warc_ts": pa.array([0], pa.timestamp("us")),
+                "html": pa.array([STUB_DOC.encode()], pa.large_binary()),
+                "text": [""],
+                "lang": ["en"],
+            }
+        )
+        return ray.data.from_arrow(t)
+
+    res = build_cpg(
+        docs_factory, out, "stubarity-1", num_partitions=2, parse_concurrency=1
+    )
+    nodes = pa.concat_tables(
+        list(
+            ray.data.read_parquet(
+                res["nodes_path"],
+                columns=["id", "label", "name", "full_name", "signature"],
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    stubs = nodes.filter(
+        pc.and_(
+            pc.equal(nodes.column("label"), "METHOD"),
+            pc.equal(pc.coalesce(nodes.column("full_name"), pa.scalar("")), "frobnicate"),
+        )
+    )
+    assert stubs.num_rows == 1
+    assert stubs.column("id")[0].as_py() == stub_id("frobnicate")
+    assert stubs.column("signature")[0].as_py() == "ANY(ANY,ANY,ANY)"
+
+
+def test_graphson_digest(tmp_path):
+    """GraphSON exporter golden: byte-stable output for a fixed graph
+    (reference `JoernExport.scala` Graphson format)."""
+    import hashlib
+    import json
+
+    from joern_ray.io.export import export_graphson
+
+    nodes = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.uint64()),
+            "label": ["METHOD", "CALL", "LITERAL"],
+            "name": ["main", "printf", None],
+            "code": ["int main()", 'printf("x")', '"x"'],
+        }
+    )
+    edges = pa.table(
+        {
+            "subj": pa.array([1, 2], pa.uint64()),
+            "pred": ["CONTAINS", "ARGUMENT"],
+            "obj": pa.array([2, 3], pa.uint64()),
+        }
+    )
+    p = export_graphson(nodes, edges, str(tmp_path / "g.json"))
+    raw = open(p, "rb").read()
+    doc = json.loads(raw)
+    assert len(doc["vertices"]) == 3 and len(doc["edges"]) == 2
+    assert doc["vertices"][0]["id"] == {"@type": "g:Int64", "@value": 1}
+    assert doc["edges"][1] == {
+        "id": {"@type": "g:Int64", "@value": 1},
+        "label": "ARGUMENT",
+        "outV": {"@type": "g:Int64", "@value": 2},
+        "inV": {"@type": "g:Int64", "@value": 3},
+    }
+    digest = hashlib.sha256(raw).hexdigest()
+    assert digest == "401ec0efee9b338526b8617734023796330b786c915c968d46baf23acc257465"
