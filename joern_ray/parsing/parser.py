@@ -1473,6 +1473,47 @@ class FragmentParser:
             recv_type = node.type_full_name
         return f"{recv_type}.{fname}" if recv_type else fname
 
+    def _make_field_access(self, node: PNode, fname_tok: Tok, op: str, start: int) -> PNode:
+        """`base.f` (no call parens) -> fieldAccess CALL; overridable per
+        dialect (Ruby lowers paren-less member METHOD calls here)."""
+        fid = self._new(
+            "FIELD_IDENTIFIER",
+            fname_tok,
+            name=fname_tok.text,
+            code=fname_tok.text,
+        )
+        if (
+            node.code == "this"
+            and self.class_members_stack
+            and fname_tok.text in self.class_members_stack[-1]
+        ):
+            fid.ref_target = self.class_members_stack[-1][fname_tok.text]
+        opname = OPERATORS[op]
+        call = self._new(
+            "CALL",
+            fname_tok,
+            name=opname,
+            method_full_name=opname,
+            dispatch_type=STATIC_DISPATCH,
+            code=self._slice(start),
+            line=node.line,
+            col=node.col,
+        )
+        # cross-fragment FieldAccessLinkerPass handle: when
+        # the base's type is known but the member is NOT
+        # declared in this fragment, record the two-key
+        # (base type, field) probe as `Type.field` on the
+        # fieldAccess call's full_name — the link stage
+        # joins it against MEMBER full_names (reference
+        # `typerelations/FieldAccessLinkerPass.scala:18-89`)
+        if fid.ref_target is None:
+            probe_t = self._field_probe_type(node.type_full_name)
+            if probe_t:
+                call.full_name = f"{probe_t}.{fname_tok.text}"
+        call.add(node, fid)
+        call.argument_children = [node, fid]
+        return call
+
     def _parse_postfix(self) -> PNode:
         start = self.i
         node = self._parse_primary()
@@ -1543,43 +1584,7 @@ class FragmentParser:
                     call.receiver_child = node
                     node = call
                 else:
-                    fid = self._new(
-                        "FIELD_IDENTIFIER",
-                        fname_tok,
-                        name=fname_tok.text,
-                        code=fname_tok.text,
-                    )
-                    if (
-                        node.code == "this"
-                        and self.class_members_stack
-                        and fname_tok.text in self.class_members_stack[-1]
-                    ):
-                        fid.ref_target = self.class_members_stack[-1][fname_tok.text]
-                    opname = OPERATORS[op]
-                    call = self._new(
-                        "CALL",
-                        fname_tok,
-                        name=opname,
-                        method_full_name=opname,
-                        dispatch_type=STATIC_DISPATCH,
-                        code=self._slice(start),
-                        line=node.line,
-                        col=node.col,
-                    )
-                    # cross-fragment FieldAccessLinkerPass handle: when
-                    # the base's type is known but the member is NOT
-                    # declared in this fragment, record the two-key
-                    # (base type, field) probe as `Type.field` on the
-                    # fieldAccess call's full_name — the link stage
-                    # joins it against MEMBER full_names (reference
-                    # `typerelations/FieldAccessLinkerPass.scala:18-89`)
-                    if fid.ref_target is None:
-                        probe_t = self._field_probe_type(node.type_full_name)
-                        if probe_t:
-                            call.full_name = f"{probe_t}.{fname_tok.text}"
-                    call.add(node, fid)
-                    call.argument_children = [node, fid]
-                    node = call
+                    node = self._make_field_access(node, fname_tok, op, start)
             elif txt == "[":
                 self.i += 1
                 idx = self._parse_expr()

@@ -459,6 +459,22 @@ class PyFragmentParser:
                 ctor = self._dotted_name(value.func)
             if ctor:
                 self.hint_types[-1].setdefault(target.id, set()).add(ctor)
+            elif (
+                isinstance(value.func, pyast.Name)
+                and value.func.id[:1].islower()
+                and value.func.id not in self.known_defs
+            ):
+                # `x = f()` where f is defined in ANOTHER document: x's
+                # type is f's RETURN type, which only the link stage
+                # knows (f's signature lives in the method index).  The
+                # symbolic `<ret:f>` hint is iteration 2 of the
+                # reference SymbolTable (`XTypeRecovery.scala:25,
+                # 151-177` runs exactly 2 iterations so recovered
+                # return types feed back): the control plane resolves
+                # `<ret:f>.g` via f's signature into `T.g` candidates.
+                self.hint_types[-1].setdefault(target.id, set()).add(
+                    f"<ret:{value.func.id}>"
+                )
         elif isinstance(target, pyast.Name) and isinstance(value, pyast.Name):
             # `x = y` copies y's accumulated hint set (chain propagation)
             for frame in reversed(self.hint_types):

@@ -530,6 +530,107 @@ def build_cpg(
         known = frozenset(_sv_keys(_f("m_c") > 0))
         ca_fqns = _sv_keys(_f("ca_c") > 0)
         dyn_fqn = build_dyn_candidates(td_proj, ca_fqns, known)
+        # ImportResolverPass analog (reference `x2cpg/.../frontendspecific/
+        # pysrc2cpg/ImportsPass + PythonImportResolverPass`): build a
+        # (module path -> defining doc) dimension from FILE rows (url
+        # stem = module path, the reference's filename convention) and
+        # NAMESPACE_BLOCK package names (go), then resolve unresolved
+        # `m.f` calls whose prefix m is an IMPORTED module to the METHOD
+        # named f DEFINED IN that doc — candidates ride the dyn map so
+        # both link regimes emit the edges.  Runs before the naive
+        # fallback: module-precise resolution beats unique-name luck,
+        # and covers the case naive cannot (f defined in several docs).
+        _imp_t = pads.dataset(
+            os.path.join(parse_path, "row_kind=node"), format="parquet"
+        ).to_table(columns=["label", "name", "url"], filter=pads.field("label") == "IMPORT")
+        imported = {n.rsplit(".", 1)[0] if "." in n else n
+                    for n in _imp_t.column("name").to_pylist() if n}
+        imported |= {n for n in _imp_t.column("name").to_pylist() if n}
+        if imported:
+            _file_t = pads.dataset(
+                os.path.join(parse_path, "row_kind=node"), format="parquet"
+            ).to_table(columns=["label", "url"], filter=pads.field("label") == "FILE")
+
+            def _stem(u: str) -> str:
+                seg = u.rstrip("/").rsplit("/", 1)[-1].split("?")[0]
+                return seg.rsplit(".", 1)[0] if "." in seg else seg
+
+            module_dim: dict[str, str] = {}
+            for u in sorted(set(_file_t.column("url").to_pylist())):
+                module_dim.setdefault(_stem(u), u)
+            _ns_t = pads.dataset(
+                os.path.join(parse_path, "row_kind=node"), format="parquet"
+            ).to_table(
+                columns=["label", "name", "url"],
+                filter=pads.field("label") == "NAMESPACE_BLOCK",
+            )
+            for nm, u in sorted(
+                zip(_ns_t.column("name").to_pylist(), _ns_t.column("url").to_pylist())
+            ):
+                if nm and nm != "<global>" and u:
+                    module_dim.setdefault(nm, u)
+            want: dict[str, tuple[str, str]] = {}
+            for fqn in ca_fqns:
+                if fqn in known or fqn in dyn_fqn or "." not in fqn:
+                    continue
+                mname, f = fqn.rsplit(".", 1)
+                if mname in imported and mname in module_dim:
+                    want[fqn] = (module_dim[mname], f)
+            if want and n_mt:
+                _urls = pa.array(sorted({u for u, _f2 in want.values()}), pa.string())
+                _meth_t = pads.dataset(canon_path, format="parquet").to_table(
+                    columns=["label", "name", "full_name", "url"],
+                    filter=(pads.field("label") == "METHOD")
+                    & pads.field("url").isin(_urls),
+                )
+                by_url_name: dict[tuple[str, str], list[str]] = {}
+                for u, nm, fn_ in sorted(
+                    zip(
+                        _meth_t.column("url").to_pylist(),
+                        _meth_t.column("name").to_pylist(),
+                        _meth_t.column("full_name").to_pylist(),
+                    )
+                ):
+                    by_url_name.setdefault((u, nm), []).append(fn_)
+                for fqn, (u, f) in want.items():
+                    cands = by_url_name.get((u, f))
+                    if cands:
+                        dyn_fqn[fqn] = cands
+        # SymbolTable iteration 2 (reference `XTypeRecovery.scala:25,
+        # 151-177` runs exactly two passes so linker-recovered RETURN
+        # types feed back into receiver typing): `x = f(); x.g()`
+        # surfaces as the symbolic call fqn `<ret:f>.g`; resolve f's
+        # return type T off the canonical method signatures and emit
+        # the `T.g` candidate — a resolution iteration 1 cannot make
+        # when f lives in another document.
+        _ret_want: dict[str, tuple[str, str]] = {}
+        for fqn in ca_fqns:
+            if fqn.startswith("<ret:") and ">." in fqn and fqn not in dyn_fqn:
+                f_name = fqn[len("<ret:"):fqn.index(">.")]
+                g_name = fqn[fqn.index(">.") + 2:]
+                if f_name in known and g_name:
+                    _ret_want[fqn] = (f_name, g_name)
+        if _ret_want and n_mt:
+            from ..stages.link import _ret_type_of
+
+            _farr = pa.array(sorted({f for f, _g in _ret_want.values()}), pa.string())
+            _sig_t = pads.dataset(canon_path, format="parquet").to_table(
+                columns=["label", "full_name", "signature"],
+                filter=(pads.field("label") == "METHOD")
+                & pads.field("full_name").isin(_farr),
+            )
+            _sig_by_fqn = dict(
+                zip(
+                    _sig_t.column("full_name").to_pylist(),
+                    _sig_t.column("signature").to_pylist(),
+                )
+            )
+            for fqn, (f_name, g_name) in _ret_want.items():
+                rt = _ret_type_of(_sig_by_fqn.get(f_name))
+                if rt:
+                    cand = f"{rt}.{g_name}"
+                    if cand in known:
+                        dyn_fqn[fqn] = [cand]
         # NaiveCallLinker fallback (reference `NaiveCallLinker.scala:
         # 12-29`): a dotted call fqn that neither resolves by full name
         # nor by dynamic dispatch links to the UNIQUE known method

@@ -69,7 +69,7 @@ def _cpg_paths(sf_dir: str) -> dict:
             ds = ds.map_batches(lambda b: b.select(columns), batch_format="pyarrow")
         return ds
 
-    return build_cpg(docs_factory, out, f"corpus-{n}-seed42-v3")
+    return build_cpg(docs_factory, out, f"corpus-{n}-seed42-v4")
 
 
 def cpg_node_counts(sf_dir: str) -> pa.Table:
@@ -613,7 +613,7 @@ def _raw_fragments_ds(sf_dir: str):
             batch_format="pyarrow",
         )
 
-    return checkpoint(factory, path, "fragments", f"corpus-{n}-seed42-v3")
+    return checkpoint(factory, path, "fragments", f"corpus-{n}-seed42-v4")
 
 
 def _fragments_ds(sf_dir: str):

@@ -211,9 +211,55 @@ def _f14_py_client(r: random.Random) -> str:
     )
 
 
-# (template fn, lang, weight) — language mix: C 35 %, JS 25 %, Java 17 %,
-# Python 16 % (round 2: pysrc2cpg-analog frontend; round 3: type-hint
-# client template), C++ 9 %.
+def _f15_ruby(r: random.Random) -> str:
+    """Ruby class hierarchy + typed-receiver dispatch (rubysrc2cpg-analog
+    frontend, round 4): Job.new types the local, j.perform dispatches
+    dynamically with the RetryJob override as SAFEDISPATCH candidate."""
+    k = r.randint(0, 99)
+    v = r.randint(1, 9)
+    return (
+        f"class Job{k}\n"
+        "  def perform(x)\n"
+        "    return x\n"
+        "  end\n"
+        "end\n"
+        f"class RetryJob{k} < Job{k}\n"
+        "  def perform(x)\n"
+        f"    return x + {v}\n"
+        "  end\n"
+        "end\n"
+        f"def submit_{r.randint(0, 199)}(n)\n"
+        f"  j = Job{k}.new\n"
+        "  return j.perform(n)\n"
+        "end\n"
+    )
+
+
+def _f16_go(r: random.Random) -> str:
+    """Go package func + receiver method (gosrc2cpg-analog frontend)."""
+    k = r.randint(0, 99)
+    lim = r.randint(2, 9)
+    return (
+        f"package svc{k}\n"
+        f"type Counter{k} struct {{\n    total int\n}}\n"
+        f"func (c *Counter{k}) Add(n int) int {{\n"
+        "    c.total += n\n"
+        "    return c.total\n"
+        "}\n"
+        f"func Scale{k}(n int) int {{\n"
+        "    total := 0\n"
+        f"    for i := 0; i < {lim}; i++ {{\n"
+        "        total += n\n"
+        "    }\n"
+        "    return total\n"
+        "}\n"
+    )
+
+
+# (template fn, lang, weight) — language mix: C ~32 %, JS ~20 %, Java
+# ~14 %, Python ~14 % (round 2: pysrc2cpg-analog frontend; round 3:
+# type-hint client template), C++ ~7 %, Ruby ~6 % + Go ~4 % (round 4:
+# rubysrc2cpg-analog frontend; go template for the round-3 frontend).
 _TEMPLATES: list[tuple] = [
     (_f1_c_call, "c", 8),
     (_f2_c_def, "c", 4),
@@ -230,6 +276,8 @@ _TEMPLATES: list[tuple] = [
     (_f14_py_client, "python", 5),
     (_f10_cpp, "cpp", 10),
     (_f11_json, "json", 4),
+    (_f15_ruby, "ruby", 8),
+    (_f16_go, "go", 5),
 ]
 _TEMPLATE_POP = [t for t in _TEMPLATES for _ in range(t[2])]
 

@@ -131,6 +131,8 @@ _LANG_ALIASES = {
     "python3": "python",
     "go": "go",
     "golang": "go",
+    "ruby": "ruby",
+    "rb": "ruby",
 }
 
 

@@ -187,12 +187,14 @@ class ParseFragments:
     def __init__(self, cache_size: int = 4096, with_overlays: bool = True) -> None:
         from ..parsing.gofrontend import GoFragmentParser
         from ..parsing.pyfrontend import PyFragmentParser
+        from ..parsing.rubyfrontend import RubyFragmentParser
 
         self.parsers = {
             d: FragmentParser(d) for d in ("c", "cpp", "java", "javascript")
         }
         self.parsers["python"] = PyFragmentParser()
         self.parsers["go"] = GoFragmentParser()
+        self.parsers["ruby"] = RubyFragmentParser()
         self.cache: OrderedDict[tuple[int, str], dict] = OrderedDict()
         self.cache_size = cache_size
         self.with_overlays = with_overlays

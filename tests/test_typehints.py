@@ -175,3 +175,92 @@ def test_hint_linking_pipeline(ray_session, force_shuffle, tmp_path):
     # 5. recovered receiver type feeds EVAL_TYPE (x: Foo)
     ev = edges.filter(pc.equal(edges.column("pred"), "EVAL_TYPE"))
     assert type_id("Foo") in set(ev.column("obj").to_pylist())
+
+
+def test_rettype_iteration2_cross_document(ray_session, tmp_path):
+    """SymbolTable iteration 2 golden (`XTypeRecovery.scala:25,151-177`):
+    `x = make()` + `x.g()` resolves through make's RETURN type even
+    though make is defined in ANOTHER document — iteration 1 (in-doc
+    hints) provably cannot know make's return type."""
+    import ray.data
+
+    from joern_ray.pipelines.cpg import build_cpg
+
+    doc_lib = (
+        '<html><body><pre><code class="language-python">'
+        "class Widget:\n"
+        "    def g(self):\n"
+        "        return 1\n"
+        "def make() -> Widget:\n"
+        "    return Widget()\n"
+        "</code></pre></body></html>"
+    )
+    doc_app = (
+        '<html><body><pre><code class="language-python">'
+        "def use():\n"
+        "    x = make()\n"
+        "    return x.g()\n"
+        "</code></pre></body></html>"
+    )
+    out = str(tmp_path / "cpg")
+
+    def docs_factory(columns):
+        t = pa.table(
+            {
+                "url": ["https://ret2/lib.py", "https://ret2/app.py"],
+                "warc_ts": pa.array([0, 0], pa.timestamp("us")),
+                "html": pa.array(
+                    [doc_lib.encode(), doc_app.encode()], pa.large_binary()
+                ),
+                "text": ["", ""],
+                "lang": ["en", "en"],
+            }
+        )
+        return ray.data.from_arrow(t)
+
+    res = build_cpg(docs_factory, out, "ret2-1", num_partitions=2, parse_concurrency=1)
+    nodes = pa.concat_tables(
+        list(
+            ray.data.read_parquet(
+                res["nodes_path"], columns=["id", "label", "name", "full_name", "url"]
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    edges = pa.concat_tables(
+        list(
+            ray.data.read_parquet(
+                res["edges_path"], columns=["subj", "pred", "obj"]
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    call = nodes.filter(
+        pc.and_(
+            pc.and_(
+                pc.equal(nodes.column("label"), "CALL"),
+                pc.equal(pc.coalesce(nodes.column("name"), pa.scalar("")), "g"),
+            ),
+            pc.equal(nodes.column("url"), "https://ret2/app.py"),
+        )
+    )
+    assert call.num_rows == 1
+    cid = call.column("id")[0].as_py()
+    meths = nodes.filter(
+        pc.and_(
+            pc.equal(nodes.column("label"), "METHOD"),
+            pc.equal(
+                pc.coalesce(nodes.column("full_name"), pa.scalar("")), "Widget.g"
+            ),
+        )
+    )
+    assert meths.num_rows == 1
+    target = meths.column("id")[0].as_py()
+    pairs = {
+        (s, o)
+        for s, p, o in zip(
+            edges.column("subj").to_pylist(),
+            edges.column("pred").to_pylist(),
+            edges.column("obj").to_pylist(),
+        )
+        if p == "CALL"
+    }
+    assert (cid, target) in pairs, "x.g() not linked to Widget.g via make's return type"
