@@ -516,6 +516,347 @@ def q_memcpy_dynamic_size(cpg: Cpg) -> pa.Table:
     return _findings(dyn, "memcpy-dynamic-size", "memcpy with unbounded size")
 
 
+def _contains_pairs(cpg: Cpg, probe_ids: set) -> list[tuple[int, int]]:
+    """(METHOD id, contained node id) pairs for the probe set — one
+    streamed CONTAINS scan + a METHOD-label check on the (small)
+    container set, same scoping machinery as q_toctou."""
+    if not probe_ids:
+        return []
+    probe = pa.array(sorted(probe_ids), pa.uint64())
+
+    def pick(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(b.column("pred"), "CONTAINS"),
+            pc.is_in(b.column("obj"), value_set=probe),
+        )
+        f = b.filter(m)
+        return pa.table({"subj": f.column("subj"), "obj": f.column("obj")})
+
+    pairs: list[tuple[int, int]] = []
+    for b in (
+        cpg.edges_ds()
+        .map_batches(pick, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        pairs.extend(zip(b.column("subj").to_pylist(), b.column("obj").to_pylist()))
+    cont = {s for s, _o in pairs}
+    if not cont:
+        return []
+    carr = pa.array(sorted(cont), pa.uint64())
+    mrows = (
+        cpg.method()
+        ._filter(lambda b: b.filter(pc.is_in(b.column("id"), value_set=carr)))
+        .l(["id"])
+    )
+    mids = set(mrows.column("id").to_pylist())
+    return [(s, o) for s, o in pairs if s in mids]
+
+
+def _ordered_precedence(cpg: Cpg, act_regex: str, guard_regex: str, qname: str, message: str) -> pa.Table:
+    """Flag `act` calls whose enclosing METHOD has no `guard` call on an
+    EARLIER line (the dominatedBy approximation on straight-line
+    credential-drop code — reference `CredentialDrop.scala:29-31`
+    `whereNot(_.dominatedBy.isCall.name(...))`)."""
+    act = cpg.call(act_regex).l(["id", "url", "line", "code"])
+    guard = cpg.call(guard_regex).l(["id", "line"])
+    if not act.num_rows:
+        return _findings(act.select(["url", "line", "code"]), qname, "")
+    act_ids = set(act.column("id").to_pylist())
+    g_ids = set(guard.column("id").to_pylist())
+    pairs = _contains_pairs(cpg, act_ids | g_ids)
+    g_line = dict(zip(guard.column("id").to_pylist(), guard.column("line").to_pylist()))
+    meth_of: dict[int, int] = {}
+    guards_in: dict[int, list[int]] = {}
+    for m, n in pairs:
+        if n in act_ids:
+            meth_of[n] = m
+        if n in g_ids:
+            guards_in.setdefault(m, []).append(g_line.get(n, -1))
+    keep = []
+    for i, (aid, aline) in enumerate(
+        zip(act.column("id").to_pylist(), act.column("line").to_pylist())
+    ):
+        m = meth_of.get(aid)
+        gls = guards_in.get(m, [])
+        if not any(gl < aline for gl in gls):
+            keep.append(i)
+    t = act.take(keep) if keep else act.slice(0, 0)
+    return _findings(t.select(["url", "line", "code"]), qname, message)
+
+
+def q_setuid_no_setgid(cpg: Cpg) -> pa.Table:
+    """`c/CredentialDrop.scala:13-56` — set*uid without a preceding
+    set*gid in the same method drops user but keeps group privileges."""
+    return _ordered_precedence(
+        cpg,
+        "(?i)set(res|re|e|)uid",
+        "(?i)set(res|re|e|)gid",
+        "setuid-without-setgid",
+        "user id changed without changing groups first",
+    )
+
+
+def q_setgid_no_setgroups(cpg: Cpg) -> pa.Table:
+    """`c/CredentialDrop.scala:58-98` — set*gid without setgroups keeps
+    ancillary group membership."""
+    return _ordered_precedence(
+        cpg,
+        "(?i)set(res|re|e|)gid",
+        "setgroups",
+        "setgid-without-setgroups",
+        "group changed without setting ancillary groups",
+    )
+
+
+def q_too_many_params(cpg: Cpg) -> pa.Table:
+    """`c/Metrics.scala:11-37` tooManyParameters(n=4): the parameter
+    count reads vectorized off the `ret(t1,...,tn)` signature — a
+    streamed filter, no per-method collection."""
+
+    def big(b: pa.Table) -> pa.Table:
+        sig = pc.coalesce(b.column("signature"), pa.scalar(""))
+        inner = pc.replace_substring_regex(sig, r"^[^(]*\(|\)[^)]*$", "")
+        n_commas = pc.subtract(
+            pc.utf8_length(inner),
+            pc.utf8_length(pc.replace_substring(inner, ",", "")),
+        )
+        m = pc.and_(
+            pc.and_(
+                pc.greater(n_commas, 3), pc.greater(pc.utf8_length(inner), 0)
+            ),
+            pc.invert(pc.match_substring(pc.coalesce(b.column("name"), pa.scalar("")), "<")),
+        )
+        return b.filter(m)
+
+    t = cpg.method()._filter(big).l(["url", "line", "code"])
+    return _findings(t, "too-many-params", "more than 4 parameters")
+
+
+def q_too_high_complexity(cpg: Cpg) -> pa.Table:
+    """`c/Metrics.scala:39-76` tooHighComplexity(n=4): per-method
+    CONTROL_STRUCTURE count > 4 — fully distributed (bucketed join of
+    CONTAINS edges against control-structure ids, bucketed count per
+    method), nothing of O(graph) on the driver."""
+    from ..util import bucketed_group_agg, bucketed_join
+
+    def cs_edges(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("pred"), "CONTAINS"))
+        return pa.table({"subj": f.column("subj"), "obj": f.column("obj")})
+
+    def cs_nodes(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("label"), "CONTROL_STRUCTURE"))
+        return pa.table({"cs_id": f.column("id")})
+
+    U = pa.uint64()
+    joined = bucketed_join(
+        cpg.edges_ds().map_batches(cs_edges, batch_format="pyarrow"),
+        [("subj", U), ("obj", U)],
+        cpg.nodes_ds().map_batches(cs_nodes, batch_format="pyarrow"),
+        [("cs_id", U)],
+        on=["obj"],
+        right_on=["cs_id"],
+        num_buckets=8,
+    )
+    counts = bucketed_group_agg(joined, ["subj"], [("obj", "count")], num_buckets=8)
+    hot: set[int] = set()
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        hit = b.filter(pc.greater(b.column("obj_count"), 4))
+        hot.update(hit.column("subj").to_pylist())
+    if not hot:
+        return _findings(
+            pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "line": pa.array([], pa.int32()),
+                    "code": pa.array([], pa.string()),
+                }
+            ),
+            "too-high-complexity",
+            "",
+        )
+    harr = pa.array(sorted(hot), pa.uint64())
+    t = (
+        cpg.method()
+        ._filter(lambda b: b.filter(pc.is_in(b.column("id"), value_set=harr)))
+        .l(["url", "line", "code"])
+    )
+    return _findings(t, "too-high-complexity", "more than 4 control structures")
+
+
+def q_strncpy_no_null_term(cpg: Cpg) -> pa.Table:
+    """`c/NullTermination.scala:16-79` — strncpy into a malloc'd buffer
+    of the SAME size, with no explicit null-termination assignment in
+    the method (dst[..] = 0)."""
+    import re
+
+    sn = cpg.call("^strncpy$").l(["id", "url", "line", "code"])
+    if not sn.num_rows:
+        return _findings(sn.select(["url", "line", "code"]), "strncpy-no-null-term", "")
+    al = cpg.call().code(r".*=\s*malloc\s*\(.*").l(["id", "code"])
+    zt = cpg.call().name_exact("<operator>.assignment").code(
+        r".*\w+\s*\[[^\]]*\]\s*=\s*('\\0'|0)\s*.*"
+    ).l(["id", "code"])
+    pairs = _contains_pairs(
+        cpg,
+        set(sn.column("id").to_pylist())
+        | set(al.column("id").to_pylist())
+        | set(zt.column("id").to_pylist()),
+    )
+    by_meth: dict[int, dict[str, list[int]]] = {}
+    kind_of = {}
+    for i in sn.column("id").to_pylist():
+        kind_of[i] = "sn"
+    for i in al.column("id").to_pylist():
+        kind_of.setdefault(i, "al")
+    for i in zt.column("id").to_pylist():
+        kind_of.setdefault(i, "zt")
+    for m, n in pairs:
+        by_meth.setdefault(m, {}).setdefault(kind_of.get(n, "?"), []).append(n)
+    al_code = dict(zip(al.column("id").to_pylist(), al.column("code").to_pylist()))
+    zt_code = dict(zip(zt.column("id").to_pylist(), zt.column("code").to_pylist()))
+    meth_of = {n: m for m, n in pairs if kind_of.get(n) == "sn"}
+    keep = []
+    for i, (sid, scode) in enumerate(
+        zip(sn.column("id").to_pylist(), sn.column("code").to_pylist())
+    ):
+        m = re.match(r"strncpy\s*\(\s*(\w+)\s*,\s*\w+\s*,\s*(\w+)", scode or "")
+        if not m:
+            continue
+        dst, size = m.group(1), m.group(2)
+        mm = meth_of.get(sid)
+        kinds = by_meth.get(mm, {})
+        same_size_alloc = any(
+            re.match(rf".*\b{re.escape(dst)}\s*=\s*malloc\s*\(\s*{re.escape(size)}\s*\)", al_code.get(a, "") or "")
+            for a in kinds.get("al", [])
+        )
+        null_terminated = any(
+            (zt_code.get(z, "") or "").strip().startswith(dst)
+            for z in kinds.get("zt", [])
+        )
+        if same_size_alloc and not null_terminated:
+            keep.append(i)
+    t = sn.take(keep) if keep else sn.slice(0, 0)
+    return _findings(
+        t.select(["url", "line", "code"]), "strncpy-no-null-term",
+        "strncpy fills the whole buffer, no null terminator",
+    )
+
+
+def q_array_access_no_check(cpg: Cpg) -> pa.Table:
+    """`c/MissingLengthCheck.scala` constant-array-access-no-check
+    shape: array access indexed by a PARAMETER in a method with no
+    comparison on that parameter."""
+    import re
+
+    ia = cpg.call().name_exact("<operator>.indexAccess").l(
+        ["id", "url", "line", "code"]
+    )
+    if not ia.num_rows:
+        return _findings(ia.select(["url", "line", "code"]), "index-no-length-check", "")
+    cmps = cpg.call(
+        "^<operator>\\.(lessThan|lessEqualsThan|greaterThan|greaterEqualsThan|equals|notEquals)$"
+    ).l(["id", "code"])
+    pairs = _contains_pairs(
+        cpg,
+        set(ia.column("id").to_pylist()) | set(cmps.column("id").to_pylist()),
+    )
+    ia_ids = set(ia.column("id").to_pylist())
+    meth_of = {n: m for m, n in pairs if n in ia_ids}
+    cmp_code_by_meth: dict[int, list[str]] = {}
+    cmp_code = dict(zip(cmps.column("id").to_pylist(), cmps.column("code").to_pylist()))
+    for m, n in pairs:
+        if n in cmp_code:
+            cmp_code_by_meth.setdefault(m, []).append(cmp_code[n] or "")
+    keep = []
+    for i, (nid, code) in enumerate(
+        zip(ia.column("id").to_pylist(), ia.column("code").to_pylist())
+    ):
+        m = re.match(r".*\[\s*(\w+)\s*\]", code or "")
+        if not m or m.group(1).isdigit():
+            continue
+        idx = m.group(1)
+        checked = any(
+            re.search(rf"\b{re.escape(idx)}\b", c)
+            for c in cmp_code_by_meth.get(meth_of.get(nid), [])
+        )
+        if not checked:
+            keep.append(i)
+    t = ia.take(keep) if keep else ia.slice(0, 0)
+    return _findings(
+        t.select(["url", "line", "code"]), "index-no-length-check",
+        "variable index without a bounds comparison",
+    )
+
+
+def q_object_deserialization(cpg: Cpg) -> pa.Table:
+    """`java/DangerousFunctions` / `android/UnsafeDeserialization` —
+    ObjectInputStream.readObject on attacker-controllable streams."""
+    t = cpg.call("^readObject$").l(["url", "line", "code"])
+    return _findings(t, "object-deserialization", "Java native deserialization")
+
+
+def q_process_builder(cpg: Cpg) -> pa.Table:
+    """java ProcessBuilder with a non-literal (dynamic) command."""
+    calls = cpg.call("^ProcessBuilder$")
+    args = calls.argument().l(["label", "url", "line", "code"])
+    dyn = args.filter(pc.equal(args.column("label"), "IDENTIFIER"))
+    return _findings(dyn, "process-builder-dynamic", "dynamic ProcessBuilder command")
+
+
+def q_spel_injection(cpg: Cpg) -> pa.Table:
+    """`java/SpringExpressionLanguageInjection.scala:14-45` —
+    parseExpression with a non-literal argument."""
+    calls = cpg.call("^parseExpression$")
+    args = calls.argument().l(["label", "url", "line", "code"])
+    dyn = args.filter(pc.equal(args.column("label"), "IDENTIFIER"))
+    return _findings(dyn, "spel-injection", "dynamic SpEL expression parsed")
+
+
+def q_xss_response_write(cpg: Cpg) -> pa.Table:
+    """`java/CrossSiteScripting.scala` sink shape: servlet response
+    writer printing a dynamic value."""
+    t = (
+        cpg.call("^(print|println|write)$")
+        .code(r".*getWriter\s*\(\s*\)\s*\.\s*(print|println|write)\s*\(\s*[A-Za-z_].*")
+        .l(["url", "line", "code"])
+    )
+    return _findings(t, "xss-response-write", "dynamic value written to HTTP response")
+
+
+def q_insecure_protocol(cpg: Cpg) -> pa.Table:
+    """`kotlin/NetworkProtocols.scala` usage-of-insecure-protocol —
+    plaintext http:// URLs in networking calls."""
+    t = cpg.literal('"http://.*').l(["url", "line", "code"])
+    return _findings(t, "insecure-protocol", "cleartext http:// URL")
+
+
+def q_root_detection_paths(cpg: Cpg) -> pa.Table:
+    """`android/RootDetection.scala` — su/system-partition path literals
+    used for root checks."""
+    t = cpg.literal(
+        r'".*(/system/(x?bin|app)/|/sbin/|/su/bin).*"'
+    ).l(["url", "line", "code"])
+    return _findings(t, "root-detection-via-file-checks", "root-detection path literal")
+
+
+def q_unsafe_reflection(cpg: Cpg) -> pa.Table:
+    """`android/UnsafeReflection.scala` fragment-injection shape:
+    Class.forName with a non-literal class name."""
+    calls = cpg.call("^forName$").code(r".*Class\s*\.\s*forName.*")
+    args = calls.argument().l(["label", "url", "line", "code"])
+    dyn = args.filter(pc.equal(args.column("label"), "IDENTIFIER"))
+    return _findings(dyn, "unsafe-reflection", "dynamic Class.forName")
+
+
+def q_vuln_prng(cpg: Cpg) -> pa.Table:
+    """`android/Misconfigurations.scala:101-150` vuln-prng —
+    SecureRandom.getInstance of the broken SHA1PRNG."""
+    t = cpg.call("^getInstance$").code(r".*SecureRandom\s*\.\s*getInstance.*SHA1PRNG.*").l(
+        ["url", "line", "code"]
+    )
+    return _findings(t, "vuln-prng", "seeded SHA1PRNG SecureRandom")
+
+
 BUNDLE: tuple[Query, ...] = (
     Query(
         "call-to-gets", "Dangerous function gets()", 8.0, q_gets, ("c", "cwe-242"),
@@ -710,6 +1051,149 @@ BUNDLE: tuple[Query, ...] = (
         CodeExamples(
             "void cp(char *d, char *s, int n) {\n  memcpy(d, s, n);\n}\n",
             "void cp_ok(char *d, char *s) {\n  memcpy(d, s, 16);\n}\n",
+        ),
+    ),
+    Query(
+        "setuid-without-setgid", "uid drop without gid drop", 2.0,
+        q_setuid_no_setgid, ("c", "setxid"),
+        CodeExamples(
+            "void bad1(void) {\n  setresuid();\n}\n",
+            "void good1(void) {\n  setgroups();\n  setresgid();\n  setresuid();\n}\n",
+        ),
+    ),
+    Query(
+        "setgid-without-setgroups", "gid change without setgroups", 2.0,
+        q_setgid_no_setgroups, ("c", "setxid"),
+        CodeExamples(
+            "void bad2(void) {\n  setresgid();\n}\n",
+            "void good2(void) {\n  setgroups();\n  setresgid();\n}\n",
+        ),
+    ),
+    Query(
+        "too-many-params", "more than 4 parameters", 1.0,
+        q_too_many_params, ("c", "metrics"),
+        CodeExamples(
+            "int too_many(int a, int b, int c, int d, int e) {\n  return a;\n}\n",
+            "int param_count_fine(int a, int b, int c, int d) {\n  return a;\n}\n",
+        ),
+    ),
+    Query(
+        "too-high-complexity", "cyclomatic complexity > 4", 1.0,
+        q_too_high_complexity, ("c", "metrics"),
+        CodeExamples(
+            "int complex_fn(int x) {\n  if (x > 0) { x++; }\n  if (x > 1) { x++; }\n"
+            "  if (x > 2) { x++; }\n  while (x > 3) { x--; }\n"
+            "  for (int i = 0; i < 3; i++) { x += i; }\n  return x;\n}\n",
+            "int simple_fn(int x) {\n  if (x > 0) { x++; }\n  return x;\n}\n",
+        ),
+    ),
+    Query(
+        "strncpy-no-null-term", "strncpy without null termination", 4.0,
+        q_strncpy_no_null_term, ("c", "strings"),
+        CodeExamples(
+            "int term_bad(char *src, int n) {\n  char *ptr = malloc(n);\n"
+            "  strncpy(ptr, src, n);\n  return 1;\n}\n",
+            "int term_good(char *src, int n) {\n  char *ptr = malloc(n);\n"
+            "  strncpy(ptr, src, n);\n  ptr[5] = 0;\n  return 1;\n}\n",
+        ),
+    ),
+    Query(
+        "index-no-length-check", "unchecked variable index", 3.0,
+        q_array_access_no_check, ("c", "cwe-125"),
+        CodeExamples(
+            "int get_at(int *arr, int i) {\n  return arr[i];\n}\n",
+            "int get_at_ok(int *arr, int i, int n) {\n  if (i < n) {\n"
+            "    return arr[i];\n  }\n  return 0;\n}\n",
+        ),
+    ),
+    Query(
+        "object-deserialization", "native deserialization", 8.0,
+        q_object_deserialization, ("java", "cwe-502"),
+        CodeExamples(
+            "public class Des {\n  public int load(ObjectInputStream in) {\n"
+            "    int r = in.readObject();\n    return r;\n  }\n}\n",
+            "public class DesOk {\n  public int load(String s) {\n"
+            "    int r = parseInt(s);\n    return r;\n  }\n}\n",
+            "java",
+        ),
+    ),
+    Query(
+        "process-builder-dynamic", "dynamic ProcessBuilder", 7.0,
+        q_process_builder, ("java", "cwe-78"),
+        CodeExamples(
+            "public class Pb {\n  public int go(String cmd) {\n"
+            "    int p = ProcessBuilder(cmd);\n    return p;\n  }\n}\n",
+            'public class PbOk {\n  public int go() {\n'
+            '    int p = ProcessBuilder("ls");\n    return p;\n  }\n}\n',
+            "java",
+        ),
+    ),
+    Query(
+        "spel-injection", "SpEL injection", 8.0, q_spel_injection,
+        ("java", "cwe-917"),
+        CodeExamples(
+            "public class Spel {\n  public int go(String expression) {\n"
+            "    int e = parseExpression(expression);\n    return e;\n  }\n}\n",
+            'public class SpelOk {\n  public int go() {\n'
+            '    int e = parseExpression("1+1");\n    return e;\n  }\n}\n',
+            "java",
+        ),
+    ),
+    Query(
+        "xss-response-write", "response writer XSS sink", 7.0,
+        q_xss_response_write, ("java", "cwe-79"),
+        CodeExamples(
+            "public class Xss {\n  public int go(String input) {\n"
+            "    int r = getWriter().print(input);\n    return r;\n  }\n}\n",
+            'public class XssOk {\n  public int go() {\n'
+            '    int r = getWriter().print("ok");\n    return r;\n  }\n}\n',
+            "java",
+        ),
+    ),
+    Query(
+        "insecure-protocol", "cleartext http:// URL", 4.0,
+        q_insecure_protocol, ("kotlin", "cwe-319"),
+        CodeExamples(
+            "public class Net {\n  public int go() {\n"
+            '    int u = openConnection("http://example.com/api");\n'
+            "    return u;\n  }\n}\n",
+            "public class NetOk {\n  public int go() {\n"
+            '    int u = openConnection("https://example.com/api");\n'
+            "    return u;\n  }\n}\n",
+            "java",
+        ),
+    ),
+    Query(
+        "root-detection-via-file-checks", "root-detection path literal", 2.0,
+        q_root_detection_paths, ("android",),
+        CodeExamples(
+            "public class Root {\n  public int check() {\n"
+            '    int f = exists("/system/xbin/su");\n    return f;\n  }\n}\n',
+            "public class RootOk {\n  public int check() {\n"
+            '    int f = exists("/data/user/log.txt");\n    return f;\n  }\n}\n',
+            "java",
+        ),
+    ),
+    Query(
+        "unsafe-reflection", "dynamic Class.forName", 6.0,
+        q_unsafe_reflection, ("android", "cwe-470"),
+        CodeExamples(
+            "public class Refl {\n  public int go(String cls) {\n"
+            "    int c = Class.forName(cls);\n    return c;\n  }\n}\n",
+            "public class ReflOk {\n  public int go() {\n"
+            '    int c = Class.forName("com.app.Safe");\n    return c;\n  }\n}\n',
+            "java",
+        ),
+    ),
+    Query(
+        "vuln-prng", "broken SHA1PRNG", 4.0, q_vuln_prng,
+        ("android", "cwe-330"),
+        CodeExamples(
+            "public class Prng {\n  public int go() {\n"
+            '    int r = SecureRandom.getInstance("SHA1PRNG");\n    return r;\n  }\n}\n',
+            "public class PrngOk {\n  public int go() {\n"
+            '    int r = SecureRandom.getInstance("DRBG");\n    return r;\n  }\n}\n',
+            "java",
         ),
     ),
 )
