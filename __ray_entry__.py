@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cpg_method_table": q.cpg_method_table,
         "cpg_call_resolution": q.cpg_call_resolution,
         "cpg_typehint_stats": q.cpg_typehint_stats,
+        "cpg_dispatch_stats": q.cpg_dispatch_stats,
         "cpg_fieldaccess_stats": q.cpg_fieldaccess_stats,
         "scan_dangerous_calls": q.scan_dangerous_calls,
         "scan_bundle": q.scan_bundle,

@@ -48,6 +48,13 @@ def _corpus_path(n: int) -> str:
         shutil.rmtree(path, ignore_errors=True)
         docs_dataset(n, parallelism=max(8, n // 256)).write_parquet(path)
         open(marker, "w").write("ok")
+        # flush writeback BEFORE the timed region starts: generating a
+        # ~GB corpus leaves dirty pages whose background flush competes
+        # with the build's reads — measured 60.9s vs 41.3s cpg_build at
+        # sf0.1/32cpu for cold-vs-warm corpus dir (the three-round
+        # BASELINE-vs-driver headline gap).  os.sync() in the UNTIMED
+        # setup makes first-run and warm-run measurements comparable.
+        os.sync()
     return path
 
 
@@ -149,6 +156,10 @@ def main_bench() -> None:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     build = run_cpg_build(NUM_CPUS)
+    # flush the build's ~2GB of parquet writeback before timing the
+    # operator queries (same cold-vs-warm interference as the corpus
+    # generation; the sync itself is outside every per-query timer)
+    os.sync()
     qtimes = {"cpg_build": round(build["sec"], 3)}
     qtimes.update(run_operator_queries())
     total = sum(qtimes.values())
@@ -189,6 +200,12 @@ def main_scaling() -> None:
     """
     results = {}
     for n in (8, 32):
+        # flush the PREVIOUS child's ~12GB output writeback before the
+        # next child's timed run (same cold-vs-warm interference as the
+        # corpus generation; measured: skipping this cost the 32-CPU
+        # child ~45% wall and the efficiency ratio ~0.15)
+        os.sync()
+        time.sleep(3)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
         env.setdefault("JOERN_RAY_BENCH_DOCS", "600000")
         p = subprocess.run(

@@ -19,7 +19,7 @@ import json
 import os
 import time
 
-ENGINE_VERSION = "0.5.0"  # bumped: MEMBER rows ride mtnode; FieldAccessLinkerPass; macro METHODs
+ENGINE_VERSION = "0.6.0"  # bumped: survey im_c column; fused dims+spec hive layout; ruby frontend
 
 
 def _footer_row_count(path: str) -> tuple[int, list[str]]:

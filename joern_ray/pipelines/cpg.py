@@ -20,9 +20,10 @@ Ray-Data stage chain with Parquet checkpoints between the macro-stages:
   stage "write"   final nodes/edges, hash-partitioned with per-partition
                   manifests (resume = skip finished partitions).
 
-Five Dataset executions total at steady state — execution-launch
-overhead dominates small runs, so the count is a first-class design
-constraint.  Checkpoints make macro-stages resumable (reference overlay
+Six core Dataset executions at steady state (parse, survey-agg,
+canonicalize, fused dims+spec write, linked-edge write, overlapped
+equivalence chain) — execution-launch overhead dominates small runs,
+so the count is a first-class design constraint.  Checkpoints make macro-stages resumable (reference overlay
 skip, `LayerCreator.scala:20-34`) and let downstream branches consume
 Parquet instead of re-executing Ray lineage.
 """
@@ -76,11 +77,17 @@ def edges_paths(out_dir: str) -> list[str]:
     by part at parse — never re-shuffled) + the linker-derived edges
     (partition-written after linking).  Returns the concrete parquet file
     list (read_parquet accepts files, not directory lists)."""
+    dims = os.path.join(out_dir, "dims")
+    spec = (
+        os.path.join(dims, "rk=edge")
+        if os.path.isdir(os.path.join(dims, "rk=edge"))
+        else os.path.join(out_dir, "edges_spec")  # pre-round-4 layout
+    )
     return _parquet_files(
         [
             os.path.join(out_dir, "edges"),
             os.path.join(out_dir, "parse", "row_kind=edge"),
-            os.path.join(out_dir, "edges_spec"),
+            spec,
         ]
     )
 
@@ -93,11 +100,14 @@ def nodes_paths(out_dir: str) -> list[str]:
     co-locate it is the single largest avoidable write (observed
     superlinear at 600k docs); the checkpoints are already deterministic,
     manifested and resumable, so they ARE the output."""
+    dims = os.path.join(out_dir, "dims")
+    if os.path.isdir(os.path.join(dims, "rk=node")):
+        dims = os.path.join(dims, "rk=node")  # round-4 fused layout
     return _parquet_files(
         [
             os.path.join(out_dir, "parse", "row_kind=node"),
             os.path.join(out_dir, "canonical_mt"),
-            os.path.join(out_dir, "dims"),
+            dims,
         ]
     )
 
@@ -285,7 +295,11 @@ def build_cpg(
             "nodes_path": nodes_paths(out_dir),
             "edges_path": edges_paths(out_dir),
             "edges_linked_path": edges_path,
-            "dims_path": dims_path,
+            "dims_path": (
+                os.path.join(dims_path, "rk=node")
+                if os.path.isdir(os.path.join(dims_path, "rk=node"))
+                else dims_path
+            ),
             "parse_path": parse_path,
             "resumed": True,
         }
@@ -334,17 +348,24 @@ def build_cpg(
         ("ns_c", "sum"),
         ("ca_c", "sum"),
         ("th_c", "sum"),
+        ("im_c", "sum"),
         ("sn", "min"),
         ("sx", "max"),
     ]
-    _SV_NAMES = ["skey", "m_c", "td_c", "mb_c", "ty_c", "ns_c", "ca_c", "th_c", "sn", "sx"]
+    _SV_NAMES = [
+        "skey", "m_c", "td_c", "mb_c", "ty_c", "ns_c", "ca_c", "th_c",
+        "im_c", "sn", "sx",
+    ]
     n_sv_buckets = max(8, num_partitions)
 
     def svagg_factory():
         import polars as pl
 
         def _local_combine(t: pa.Table) -> pa.Table:
+            # select by NAME: pyarrow's keys-vs-aggregates column order
+            # is version-dependent (same fix as bucketed_group_agg)
             g = t.group_by("skey").aggregate(_SV_AGGS)
+            g = g.select(["skey"] + [f"{c_}_{f_}" for c_, f_ in _SV_AGGS])
             return g.rename_columns(_SV_NAMES)
 
         def _pivot(b: pa.Table) -> pa.Table:
@@ -366,6 +387,7 @@ def build_cpg(
                     "ns_c": cnt("ns"),
                     "ca_c": cnt("ca"),
                     "th_c": cnt("th"),
+                    "im_c": cnt("im"),
                     "sn": pc.if_else(
                         is_ca, b.column("sn"), pa.scalar(_SN_SENTINEL, pa.int64())
                     ),
@@ -399,6 +421,7 @@ def build_cpg(
                     "ns_c": b.column("ns_c").cast(pa.int64()),
                     "ca_c": b.column("ca_c").cast(pa.int64()),
                     "th_c": b.column("th_c").cast(pa.int64()),
+                    "im_c": b.column("im_c").cast(pa.int64()),
                     "s_min": b.column("sn").cast(pa.int64()),
                     "s_max": b.column("sx").cast(pa.int64()),
                 }
@@ -540,16 +563,41 @@ def build_cpg(
         # both link regimes emit the edges.  Runs before the naive
         # fallback: module-precise resolution beats unique-name luck,
         # and covers the case naive cannot (f defined in several docs).
-        _imp_t = pads.dataset(
-            os.path.join(parse_path, "row_kind=node"), format="parquet"
-        ).to_table(columns=["label", "name", "url"], filter=pads.field("label") == "IMPORT")
-        imported = {n.rsplit(".", 1)[0] if "." in n else n
-                    for n in _imp_t.column("name").to_pylist() if n}
-        imported |= {n for n in _imp_t.column("name").to_pylist() if n}
+        # all projections STREAMED (distributed filter, only hits reach
+        # the driver) — a driver-side pads scan of the full node split
+        # decodes O(graph) string columns single-threaded (measured tens
+        # of seconds at 600k docs)
+        def _node_proj(keep_label: str, cols: list, extra=None):
+            import ray.data as _rd2
+
+            def f(b: pa.Table) -> pa.Table:
+                m = pc.equal(b.column("label"), keep_label)
+                if extra is not None:
+                    m = pc.and_(m, extra(b))
+                return b.filter(m).select(cols)
+
+            out = []
+            for bb in (
+                _rd2.read_parquet(
+                    os.path.join(parse_path, "row_kind=node"),
+                    columns=["label"] + cols,
+                )
+                .map_batches(f, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+            ):
+                if bb.num_rows:
+                    out.append(bb)
+            return (
+                pa.concat_tables(out)
+                if out
+                else pa.table({c: pa.array([], pa.string()) for c in cols})
+            )
+
+        _imp_names = _sv_keys(_f("im_c") > 0)
+        imported = {n.rsplit(".", 1)[0] if "." in n else n for n in _imp_names if n}
+        imported |= {n for n in _imp_names if n}
         if imported:
-            _file_t = pads.dataset(
-                os.path.join(parse_path, "row_kind=node"), format="parquet"
-            ).to_table(columns=["label", "url"], filter=pads.field("label") == "FILE")
+            _file_t = _node_proj("FILE", ["url"])
 
             def _stem(u: str) -> str:
                 seg = u.rstrip("/").rsplit("/", 1)[-1].split("?")[0]
@@ -558,16 +606,17 @@ def build_cpg(
             module_dim: dict[str, str] = {}
             for u in sorted(set(_file_t.column("url").to_pylist())):
                 module_dim.setdefault(_stem(u), u)
-            _ns_t = pads.dataset(
-                os.path.join(parse_path, "row_kind=node"), format="parquet"
-            ).to_table(
-                columns=["label", "name", "url"],
-                filter=pads.field("label") == "NAMESPACE_BLOCK",
+            _ns_t = _node_proj(
+                "NAMESPACE_BLOCK",
+                ["name", "url"],
+                extra=lambda b: pc.not_equal(
+                    pc.coalesce(b.column("name"), pa.scalar("")), "<global>"
+                ),
             )
             for nm, u in sorted(
                 zip(_ns_t.column("name").to_pylist(), _ns_t.column("url").to_pylist())
             ):
-                if nm and nm != "<global>" and u:
+                if nm and u:
                     module_dim.setdefault(nm, u)
             want: dict[str, tuple[str, str]] = {}
             for fqn in ca_fqns:
@@ -652,6 +701,12 @@ def build_cpg(
             if cands and len(cands) == 1:
                 dyn_fqn[fqn] = [cands[0]]
     else:
+        # NOTE: the import-resolver and <ret:f> iteration-2 refinements
+        # above run in the driver regime only; in this regime dynamic
+        # dispatch + naive fallback are fully distributed, and the two
+        # refinements (whose dimensions — module paths, ret-type
+        # signatures — are tiny) are a straightforward bucketed_join
+        # extension if a corpus ever crosses the gate AND needs them.
         if n_mt:
 
             def _td_filter(b: pa.Table) -> pa.Table:
@@ -889,17 +944,44 @@ def build_cpg(
                     ),
                 ]
             )
-        dims_ds = _rd.from_arrow(meta_t).union(
+        # ONE execution writes BOTH outputs (round-3 verdict #9: fewer
+        # Dataset executions): node-shaped dim/stub rows and the
+        # <speculatedMethods> AST edges ride a padded union schema and
+        # split at the sink via hive partitioning on `rk` —
+        # dims/rk=node joins nodes_paths(), dims/rk=edge joins
+        # edges_paths().  (They must NOT union into the main link scan:
+        # a Dataset.union breaks its streaming fusion, measured 2x.)
+        _USCHEMA = pa.schema(
+            list(NODES_SCHEMA) + list(EDGES_SCHEMA) + [pa.field("rk", pa.string())]
+        )
+
+        def _pad(t: pa.Table, rk: str) -> pa.Table:
+            arrays = []
+            for f_ in _USCHEMA:
+                if f_.name == "rk":
+                    arrays.append(pa.array([rk] * t.num_rows, pa.string()))
+                elif f_.name in t.column_names:
+                    arrays.append(t.column(f_.name).combine_chunks().cast(f_.type))
+                else:
+                    arrays.append(pa.nulls(t.num_rows, f_.type))
+            return pa.Table.from_arrays(arrays, schema=_USCHEMA)
+
+        def _dims_and_spec(b: pa.Table) -> pa.Table:
+            return pa.concat_tables(
+                [_pad(_dims_batch(b), "node"), _pad(_spec_ast(b), "edge")]
+            )
+
+        dims_ds = _rd.from_arrow(_pad(meta_t, "node")).union(
             _rd.read_parquet(
                 svagg_path,
                 columns=["skey", "m_c", "ty_c", "ns_c", "ca_c", "th_c", "s_max"],
-            ).map_batches(_dims_batch, batch_format="pyarrow")
+            ).map_batches(_dims_and_spec, batch_format="pyarrow")
         )
         import shutil as _shutil
 
         if os.path.isdir(dims_path):
             _shutil.rmtree(dims_path)
-        dims_ds.write_parquet(dims_path)
+        dims_ds.write_parquet(dims_path, partition_cols=["rk"])
     # dims manifest written AFTER the writes below complete (it is the
     # completion marker for the whole chain)
 
@@ -969,16 +1051,6 @@ def build_cpg(
             schema=EDGES_SCHEMA,
         )
 
-    def _write_spec_edges():
-        import shutil as _shutil
-
-        spec_path = os.path.join(out_dir, "edges_spec")
-        if os.path.isdir(spec_path):
-            _shutil.rmtree(spec_path)
-        ray.data.read_parquet(
-            svagg_path, columns=["skey", "m_c", "ca_c", "th_c"]
-        ).map_batches(_spec_ast, batch_format="pyarrow").write_parquet(spec_path)
-
     # edges write + MinHash equivalence run concurrently (independent)
     import threading
 
@@ -1027,7 +1099,6 @@ def build_cpg(
     # workers — observed at 4 CPUs); the dims execution is small (one
     # groupby over distinct FQNs), so serializing costs little.
     _build_dims()
-    _write_spec_edges()
     _mark("dims")
     t2 = threading.Thread(target=_w, args=(final_edges, edges_path, "edges"))
     t2.start()
@@ -1146,7 +1217,7 @@ def build_cpg(
         "nodes_path": nodes_paths(out_dir),
         "edges_path": edges_paths(out_dir),
         "edges_linked_path": edges_path,
-        "dims_path": dims_path,
+        "dims_path": os.path.join(dims_path, "rk=node"),
         "parse_path": parse_path,
         "link_regime": link_regime,
         "n_methods": n_methods,

@@ -276,6 +276,48 @@ def cpg_fieldaccess_stats(sf_dir: str) -> pa.Table:
     )
 
 
+def cpg_dispatch_stats(sf_dir: str) -> pa.Table:
+    """Round-4 control-plane witness: dyn regime (driver walk vs
+    distributed INHERITS_FROM closure), SAFEDISPATCH candidate map size,
+    IMPORT node count and distinct imported module names (the
+    import-resolver dimension)."""
+    import json as _json
+    import os as _os
+
+    import ray.data
+
+    res = _cpg_paths(sf_dir)
+    stats = {}
+    try:
+        stats = _json.load(
+            open(_os.path.join(res["out_dir"], "build_stats.json"))
+        )
+    except (OSError, _json.JSONDecodeError):
+        pass
+
+    def _imp(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("label"), "IMPORT"))
+        return pa.table({"name": f.column("name")})
+
+    n_imports = 0
+    modules: set = set()
+    for b in (
+        ray.data.read_parquet(res["nodes_path"], columns=["label", "name"])
+        .map_batches(_imp, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        n_imports += b.num_rows
+        modules.update(x for x in b.column("name").to_pylist() if x)
+    return pa.table(
+        {
+            "dyn_regime": pa.array([stats.get("dyn_regime", "")], pa.string()),
+            "n_dyn_fqns": pa.array([stats.get("n_dyn_fqns", 0)], pa.int64()),
+            "n_imports": pa.array([n_imports], pa.int64()),
+            "n_import_modules": pa.array([len(modules)], pa.int64()),
+        }
+    )
+
+
 def cpg_typehint_stats(sf_dir: str) -> pa.Table:
     """XTypeHintCallLinker surface: calls carrying multi-hint lists, the
     distinct hint fqns, and speculative stubs under <speculatedMethods>

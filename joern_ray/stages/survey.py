@@ -13,6 +13,7 @@ associatively).
        semantics, `TypeNodePass.scala:18-60`) — so the TYPE dimension is
        derivable from 'ty' rows ALONE, with no driver-side set union
   'ns' distinct namespace-block names
+  'im' distinct IMPORT names (import-resolver module-path join input)
   'ca' CALL/METHOD_REF method_full_name rows carrying THREE partials:
        `sc` = true per-batch call COUNT (value_counts — summed totals are
        real call-site frequencies for the salted join's hot-key
@@ -127,6 +128,13 @@ def survey_partial(batch: pa.Table, edges: "pa.Table | None" = None) -> pa.Table
     ).to_pylist():
         if v:
             emit("ns", v, 1)
+    # 'im': distinct IMPORT names (module-path resolver input — makes
+    # the import scan a survey column instead of a full node-split pass)
+    for v in pc.unique(
+        batch.filter(pc.equal(labels, "IMPORT")).column("name")
+    ).to_pylist():
+        if v:
+            emit("im", v, 1)
     calls = batch.filter(
         pc.is_in(labels, value_set=pa.array(["CALL", "METHOD_REF"]))
     ).column("method_full_name")
