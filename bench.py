@@ -87,6 +87,11 @@ def run_cpg_build(num_cpus: int) -> dict:
     corpus = _corpus_path(n)
     out = os.path.join(BENCH_OUT, f"cpg_{n}_{num_cpus}")
     shutil.rmtree(out, ignore_errors=True)
+    # last untimed-setup flush: deleting a previous ~12GB output dir
+    # queues journal/discard I/O that otherwise lands inside the timed
+    # region (standalone synced run 181.9s vs 219.8s in a back-to-back
+    # scaling pair at 600k docs / 32 CPUs)
+    os.sync()
 
     def docs_factory(columns):
         return ray.data.read_parquet(corpus, columns=columns)
