@@ -198,6 +198,56 @@ def _hop(flow_ds, frontier: np.ndarray, direction: str):
     )
 
 
+def parse_semantics(text: str) -> dict:
+    """Parse the reference's `.semantics` file format
+    (`dataflowengineoss/src/main/antlr4/.../Semantics.g4`; lines like
+    `"memcpy" 2->1 3->1`, `"foo" PASSTHROUGH`, `#`/`//` comments) into
+    the engine's map: method full name -> tuple of (src_arg, dst_arg)
+    flows (`-1` = return value) or the "PT" passthrough sentinel.
+    Named-argument mappings (`1->"dst"`) are outside this subset and are
+    ignored line-local (their positional mappings still load)."""
+    import re as _re
+
+    out: dict = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or line.startswith("//"):
+            continue
+        m = _re.match(r'"([^"]+)"\s*(.*)$', line)
+        if not m:
+            continue
+        name, rest = m.group(1), m.group(2).strip()
+        if rest.upper() in ("PASSTHROUGH", "PT"):
+            out[name] = "PT"
+            continue
+        flows = tuple(
+            (int(fm.group(1)), int(fm.group(2)))
+            for fm in _re.finditer(r"(-?\d+)\s*->\s*(-?\d+)", rest)
+        )
+        out[name] = flows
+    return out
+
+
+_ACTIVE_SEMANTICS: "dict | None" = None
+
+
+def active_semantics() -> dict:
+    """DEFAULT_SEMANTICS (the `DefaultSemantics.scala` table) merged
+    with user-supplied FlowSemantics from `$JOERN_RAY_SEMANTICS` (the
+    semantics-loader analog of the reference's `--semantics-file` /
+    `Semantics.fromList`).  Parsed once per process."""
+    global _ACTIVE_SEMANTICS
+    if _ACTIVE_SEMANTICS is None:
+        import os as _os
+
+        sem = dict(DEFAULT_SEMANTICS)
+        path = _os.environ.get("JOERN_RAY_SEMANTICS")
+        if path and _os.path.exists(path):
+            sem.update(parse_semantics(open(path).read()))
+        _ACTIVE_SEMANTICS = sem
+    return _ACTIVE_SEMANTICS
+
+
 def reachable_by(
     edges_ds_factory,
     sink_ids,
@@ -369,7 +419,7 @@ def reachable_by_interproc(
         for cid, nm in zip(
             calls.column("id").to_pylist(), calls.column("name").to_pylist()
         ):
-            sem = DEFAULT_SEMANTICS.get(nm or "")
+            sem = active_semantics().get(nm or "")
             if sem == "PT":
                 blanket.append(cid)
             elif sem is not None:
@@ -437,7 +487,7 @@ def reachable_by_interproc(
                 )
                 want: dict[int, set] = {}
                 for c, a in zip(pc_ids.tolist(), pa_ids.tolist()):
-                    sem = DEFAULT_SEMANTICS.get(pname.get(c) or "")
+                    sem = active_semantics().get(pname.get(c) or "")
                     if sem is None or sem == "PT":
                         continue
                     k = ridx.get(a)

@@ -162,6 +162,7 @@ class FragmentParser:
             root.extra_edges.append(("IMPORTS", node))
 
     _MACRO_RE = None  # compiled lazily per class (shared)
+    _IFDEF_RE = None
 
     def _emit_macros(self, root: PNode) -> None:
         """MacroHandler analog (reference `c2cpg/.../astcreation/
@@ -218,6 +219,32 @@ class FragmentParser:
             node = PNode(
                 "UNKNOWN",
                 name=m.group(1),
+                code=m.group(0).strip()[:MAX_CODE_LEN],
+                line=line,
+                col=1,
+            )
+            self.node_count += 1
+            root.add(node)
+        # conditional-compilation directives (PreprocessorPass's #ifdef
+        # listing half, reference `c2cpg/.../passes/PreprocessorPass.
+        # scala:14-39`: collects every #if/#ifdef/#ifndef/#elif with its
+        # guard symbol): listed as UNKNOWN directive nodes named by the
+        # guard, code = the directive line — queryable via
+        # `cpg.all().where_label("UNKNOWN").code("#if.*")`.
+        if cls._IFDEF_RE is None:
+            cls._IFDEF_RE = _re.compile(
+                r"^[ \t]*#[ \t]*(ifdef|ifndef|elif|if)\b[ \t]*([^\n]*)$", _re.M
+            )
+        for m in cls._IFDEF_RE.finditer(self.src):
+            guard = (m.group(2) or "").strip()
+            gname = _re.match(r"defined\([ \t]*(\w+)[ \t]*\)|\w+", guard)
+            name = (
+                (gname.group(1) or gname.group(0)) if gname else m.group(1)
+            )
+            line = self.src.count("\n", 0, m.start()) + 1
+            node = PNode(
+                "UNKNOWN",
+                name=name,
                 code=m.group(0).strip()[:MAX_CODE_LEN],
                 line=line,
                 col=1,

@@ -133,7 +133,37 @@ _LANG_ALIASES = {
     "golang": "go",
     "ruby": "ruby",
     "rb": "ruby",
+    "php": "php",
 }
+
+
+_FRAG_BARE_RE = re.compile(rb"<pre><code>(.*?)</code></pre>", re.S)
+
+# content markers for the language guess, checked IN ORDER (first hit
+# wins) — reference `console/.../cpgcreation/package.scala:63-77` guesses
+# by extension majority; web fragments have no filenames, so obvious
+# syntax markers come first and the in-document majority is the
+# "directory majority" analog
+_CONTENT_MARKERS: list[tuple[str, "re.Pattern"]] = [
+    ("php", re.compile(r"<\?php|\$\w+\s*->")),
+    ("c", re.compile(r"#include\s*<|\bprintf\s*\(|\bmalloc\s*\(")),
+    ("cpp", re.compile(r"\bstd::|\btemplate\s*<|\bnullptr\b")),
+    ("java", re.compile(r"\bpublic\s+(static\s+)?(class|void|int)\b|\bSystem\.out\b")),
+    ("go", re.compile(r"^package\s+\w+|\bfunc\s+\w+\s*\(", re.M)),
+    ("ruby", re.compile(r"\bdef\s+\w+.*\n(.|\n)*?\bend\b|\battr_accessor\b")),
+    ("python", re.compile(r"\bdef\s+\w+\s*\(.*\)\s*:|\bimport\s+\w+$|\belif\b", re.M)),
+    ("javascript", re.compile(r"\bfunction\s*\w*\s*\(|\bconst\s+\w+\s*=|=>")),
+]
+
+
+def guess_language(code: str, doc_majority: "str | None" = None) -> str:
+    """Language for an UNTAGGED code block: obvious syntax markers first,
+    then the surrounding document's majority language (the reference's
+    directory-majority vote), else unknown."""
+    for lang, pat in _CONTENT_MARKERS:
+        if pat.search(code):
+            return lang
+    return doc_majority or "unknown"
 
 
 def detect_fragments_in_html(url: str, html: bytes):
@@ -156,6 +186,29 @@ def detect_fragments_in_html(url: str, html: bytes):
             }
         )
         n_closed += 1
+    # bare <pre><code> blocks (no language class): majority vote —
+    # content markers first, then the document's classified majority
+    bare = list(_FRAG_BARE_RE.finditer(html))
+    if bare:
+        from collections import Counter
+
+        tallies = Counter(
+            f["frag_lang"] for f in frags if f["frag_lang"] != "unknown"
+        )
+        doc_majority = tallies.most_common(1)[0][0] if tallies else None
+        for m in bare:
+            code = _htmlmod.unescape(m.group(1).decode("utf-8", "replace"))
+            frags.append(
+                {
+                    "url": url,
+                    "fragment_idx": len(frags),
+                    "frag_lang": guess_language(code, doc_majority),
+                    "code": code,
+                    "byte_start": m.start(1),
+                    "byte_end": m.end(1),
+                    "content_hash": hash64_bytes(code.encode()),
+                }
+            )
     n_open = sum(1 for _ in _FRAG_OPEN_RE.finditer(html))
     if n_open > n_closed:
         rejects.append(

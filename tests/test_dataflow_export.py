@@ -429,3 +429,37 @@ def test_frontier_join_regime_parity(ray_session, monkeypatch):
     sj = dfl.reachable_by(ef, sink_ids, max_depth=6)
     assert set(bc.column("node").to_pylist()) == set(sj.column("node").to_pylist())
     assert bc.num_rows > 0
+
+
+def test_semantics_loader_parses_reference_format(tmp_path, monkeypatch):
+    """Semantics-loader analog (reference `dataflowengineoss/src/main/
+    antlr4/.../Semantics.g4` + `Semantics.fromList`): user-supplied
+    FlowSemantics in the reference's text format merge over
+    DEFAULT_SEMANTICS via $JOERN_RAY_SEMANTICS."""
+    import joern_ray.graph.dataflow as df
+
+    text = (
+        "# comment line\n"
+        '"my_memcpy" 2->1 3->1\n'
+        '"my_passthrough" PASSTHROUGH\n'
+        '"my_sink" \n'
+        '// another comment\n'
+        '"<operator>.addition" 1->-1\n'
+    )
+    parsed = df.parse_semantics(text)
+    assert parsed["my_memcpy"] == ((2, 1), (3, 1))
+    assert parsed["my_passthrough"] == "PT"
+    assert parsed["my_sink"] == ()
+    assert parsed["<operator>.addition"] == ((1, -1),)
+
+    p = tmp_path / "user.semantics"
+    p.write_text(text)
+    monkeypatch.setenv("JOERN_RAY_SEMANTICS", str(p))
+    monkeypatch.setattr(df, "_ACTIVE_SEMANTICS", None)
+    sem = df.active_semantics()
+    # user entries merged in; overridden default takes the user value
+    assert sem["my_memcpy"] == ((2, 1), (3, 1))
+    assert sem["<operator>.addition"] == ((1, -1),)
+    # untouched defaults survive
+    assert sem["<operator>.assignment"] == ((2, 1), (2, -1))
+    monkeypatch.setattr(df, "_ACTIVE_SEMANTICS", None)

@@ -54,3 +54,34 @@ def test_detect_batch_union_rows():
     assert "fragment" in kinds
     assert out.num_rows > 0
     assert out.column("content_hash").type == pa.uint64()
+
+
+def test_language_guess_majority_vote():
+    """Bare <pre><code> blocks (no language class) get a language via
+    content markers first, then the document's classified majority
+    (reference `console/.../cpgcreation/package.scala:63-77` directory-
+    majority analog)."""
+    from joern_ray.stages.extract import detect_fragments_in_html, guess_language
+
+    html = (
+        b"<html><body>"
+        b'<pre><code class="language-c">int a(void) { return 1; }</code></pre>'
+        b'<pre><code class="language-c">int b(void) { return 2; }</code></pre>'
+        b'<pre><code class="language-java">public class X { }</code></pre>'
+        b"<pre><code>int mystery(void) { return 3; }</code></pre>"
+        b"</body></html>"
+    )
+    frags, rejects = detect_fragments_in_html("https://g/1", html)
+    assert not rejects
+    langs = [f["frag_lang"] for f in frags]
+    # three classified + one bare; the bare block has no content marker
+    # hit for its snippet? it does match none of the obvious markers, so
+    # the document majority (c) wins
+    assert langs[:3] == ["c", "c", "java"]
+    assert langs[3] == "c"
+    # content markers beat the majority
+    assert guess_language("def f(x):\n    return x\n", "c") == "python"
+    assert guess_language("<?php echo $x; ?>", "c") == "php"
+    assert guess_language("package main\nfunc F() {}\n", None) == "go"
+    # nothing recognizable, no siblings -> unknown
+    assert guess_language("just some prose", None) == "unknown"

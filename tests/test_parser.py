@@ -212,3 +212,33 @@ def test_macro_definitions_become_methods():
     # the invocation parses as an ordinary call with the macro's fqn
     calls = [n for n in nodes if n["label"] == "CALL" and n["method_full_name"] == "MIN"]
     assert len(calls) == 1
+
+
+def test_preprocessor_ifdef_listing():
+    """PreprocessorPass #ifdef half (reference `c2cpg/.../passes/
+    PreprocessorPass.scala:14-39`): every #if/#ifdef/#ifndef/#elif is
+    listed as an UNKNOWN directive node named by its guard symbol."""
+    from joern_ray.parsing.astmodel import flatten
+    from joern_ray.parsing.parser import FragmentParser
+
+    src = (
+        "#ifdef DEBUG\n"
+        "#define LOG(x) print_log(x)\n"
+        "#endif\n"
+        "#ifndef MAX\n"
+        "#define MAX 10\n"
+        "#endif\n"
+        "#if defined(FEATURE_X)\n"
+        "int with_feature(void) { return 1; }\n"
+        "#elif FEATURE_Y > 2\n"
+        "int other(void) { return 2; }\n"
+        "#endif\n"
+    )
+    root = FragmentParser("c").parse(src, "u", 0)
+    nodes, _e = flatten(root, "u", 0, "c")
+    directives = {
+        n["name"]: n["code"] for n in nodes if n["label"] == "UNKNOWN"
+    }
+    assert {"DEBUG", "MAX", "FEATURE_X", "FEATURE_Y"} <= set(directives)
+    assert directives["DEBUG"].startswith("#ifdef")
+    assert directives["FEATURE_X"].startswith("#if defined")
