@@ -701,12 +701,6 @@ def build_cpg(
             if cands and len(cands) == 1:
                 dyn_fqn[fqn] = [cands[0]]
     else:
-        # NOTE: the import-resolver and <ret:f> iteration-2 refinements
-        # above run in the driver regime only; in this regime dynamic
-        # dispatch + naive fallback are fully distributed, and the two
-        # refinements (whose dimensions — module paths, ret-type
-        # signatures — are tiny) are a straightforward bucketed_join
-        # extension if a corpus ever crosses the gate AND needs them.
         if n_mt:
 
             def _td_filter(b: pa.Table) -> pa.Table:
@@ -751,6 +745,250 @@ def build_cpg(
                 sv_cols.map_batches(_skey_pick("m_c"), batch_format="pyarrow"),
             )
         )
+        # Import-resolver + <ret:f> iteration-2 in the DISTRIBUTED
+        # regime: every probe set here is SMALL (distinct import names,
+        # ret-hint fqns, resolved module urls), so each step is a
+        # streamed broadcast-filtered scan collecting only hits — the
+        # driver never holds anything of O(fqns) or O(docs).
+        _imp_names = _sv_keys(_f("im_c") > 0)  # O(distinct imports)
+        imported = {n.rsplit(".", 1)[0] if "." in n else n for n in _imp_names if n}
+        imported |= {n for n in _imp_names if n}
+        dyn_keyset = frozenset(dyn_fqn)
+        if imported:
+            imp_ref = ray.put(frozenset(imported))
+
+            # unresolved dotted call fqns whose PREFIX is imported —
+            # streamed over the survey, only hits collected
+            def _want_pick(b: pa.Table) -> pa.Table:
+                import ray as _ray
+
+                imps = _KEYSET_CACHE.get("s" + imp_ref.hex())
+                if imps is None:
+                    imps = _ray.get(imp_ref)
+                    _KEYSET_CACHE["s" + imp_ref.hex()] = imps
+                hit = b.filter(
+                    pc.and_(pc.greater(b.column("ca_c"), 0), pc.equal(b.column("m_c"), 0))
+                )
+                keep = [
+                    k
+                    for k in hit.column("skey").to_pylist()
+                    if k and "." in k and k.rsplit(".", 1)[0] in imps
+                ]
+                return pa.table({"fqn": pa.array(keep, pa.string())})
+
+            want_fqns = sorted(
+                set(
+                    x
+                    for bb in ray.data.read_parquet(
+                        svagg_path, columns=["skey", "m_c", "ca_c"]
+                    )
+                    .map_batches(_want_pick, batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow")
+                    for x in bb.column("fqn").to_pylist()
+                )
+                - dyn_keyset
+            )
+            if want_fqns:
+                # module dim restricted to the imported names: streamed
+                # FILE-stem + NAMESPACE_BLOCK scans, only matches collected
+                def _mod_pick(b: pa.Table) -> pa.Table:
+                    import ray as _ray
+
+                    imps = _KEYSET_CACHE.get("s" + imp_ref.hex())
+                    if imps is None:
+                        imps = _ray.get(imp_ref)
+                        _KEYSET_CACHE["s" + imp_ref.hex()] = imps
+                    rows_m, rows_u = [], []
+                    fl = b.filter(pc.equal(b.column("label"), "FILE"))
+                    for u in fl.column("url").to_pylist():
+                        seg = (u or "").rstrip("/").rsplit("/", 1)[-1].split("?")[0]
+                        stem = seg.rsplit(".", 1)[0] if "." in seg else seg
+                        if stem in imps:
+                            rows_m.append(stem)
+                            rows_u.append(u)
+                    ns = b.filter(
+                        pc.and_(
+                            pc.equal(b.column("label"), "NAMESPACE_BLOCK"),
+                            pc.is_in(
+                                pc.coalesce(b.column("name"), pa.scalar("")),
+                                value_set=pa.array(sorted(imps), pa.string()),
+                            ),
+                        )
+                    )
+                    rows_m += [n_ for n_ in ns.column("name").to_pylist()]
+                    rows_u += [u_ for u_ in ns.column("url").to_pylist()]
+                    return pa.table(
+                        {
+                            "mod": pa.array(rows_m, pa.string()),
+                            "url": pa.array(rows_u, pa.string()),
+                        }
+                    )
+
+                module_dim: dict[str, str] = {}
+                pairs = sorted(
+                    (m_, u_)
+                    for bb in ray.data.read_parquet(
+                        os.path.join(parse_path, "row_kind=node"),
+                        columns=["label", "name", "url"],
+                    )
+                    .map_batches(_mod_pick, batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow")
+                    for m_, u_ in zip(
+                        bb.column("mod").to_pylist(), bb.column("url").to_pylist()
+                    )
+                )
+                for m_, u_ in pairs:
+                    module_dim.setdefault(m_, u_)
+                want = {
+                    fqn: (module_dim[fqn.rsplit(".", 1)[0]], fqn.rsplit(".", 1)[1])
+                    for fqn in want_fqns
+                    if fqn.rsplit(".", 1)[0] in module_dim
+                }
+                if want and n_mt:
+                    url_name = {(u_, f_) for u_, f_ in want.values()}
+                    un_ref = ray.put(url_name)
+
+                    def _meth_pick(b: pa.Table) -> pa.Table:
+                        import ray as _ray
+
+                        uns = _KEYSET_CACHE.get("s" + un_ref.hex())
+                        if uns is None:
+                            uns = _ray.get(un_ref)
+                            _KEYSET_CACHE["s" + un_ref.hex()] = uns
+                        mm = b.filter(pc.equal(b.column("label"), "METHOD"))
+                        keep = [
+                            i
+                            for i, (u_, n_) in enumerate(
+                                zip(
+                                    mm.column("url").to_pylist(),
+                                    mm.column("name").to_pylist(),
+                                )
+                            )
+                            if (u_, n_) in uns
+                        ]
+                        mm = mm.take(keep) if keep else mm.slice(0, 0)
+                        return pa.table(
+                            {
+                                "url": mm.column("url"),
+                                "name": mm.column("name"),
+                                "full_name": mm.column("full_name"),
+                            }
+                        )
+
+                    by_url_name: dict[tuple, list] = {}
+                    rows = sorted(
+                        (u_, n_, fn_)
+                        for bb in ray.data.read_parquet(
+                            canon_path,
+                            columns=["label", "name", "full_name", "url"],
+                        )
+                        .map_batches(_meth_pick, batch_format="pyarrow")
+                        .iter_batches(batch_format="pyarrow")
+                        for u_, n_, fn_ in zip(
+                            bb.column("url").to_pylist(),
+                            bb.column("name").to_pylist(),
+                            bb.column("full_name").to_pylist(),
+                        )
+                    )
+                    for u_, n_, fn_ in rows:
+                        by_url_name.setdefault((u_, n_), []).append(fn_)
+                    for fqn, (u_, f_) in want.items():
+                        cands = by_url_name.get((u_, f_))
+                        if cands:
+                            dyn_fqn[fqn] = cands
+        # <ret:f>.g keys — streamed prefix filter over the survey
+        def _ret_pick(b: pa.Table) -> pa.Table:
+            hit = b.filter(
+                pc.and_(
+                    pc.greater(b.column("ca_c"), 0),
+                    pc.starts_with(
+                        pc.coalesce(b.column("skey"), pa.scalar("")), "<ret:"
+                    ),
+                )
+            )
+            return pa.table({"fqn": hit.column("skey")})
+
+        _ret_fqns = sorted(
+            set(
+                x
+                for bb in ray.data.read_parquet(
+                    svagg_path, columns=["skey", "ca_c"]
+                )
+                .map_batches(_ret_pick, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+                for x in bb.column("fqn").to_pylist()
+            )
+            - frozenset(dyn_fqn)
+        )
+        _ret_want2: dict[str, tuple[str, str]] = {}
+        for fqn in _ret_fqns:
+            if ">." in fqn:
+                f_name = fqn[len("<ret:"):fqn.index(">.")]
+                g_name = fqn[fqn.index(">.") + 2:]
+                if f_name and g_name:
+                    _ret_want2[fqn] = (f_name, g_name)
+        if _ret_want2 and n_mt:
+            from ..stages.link import _ret_type_of
+
+            _fset = pa.array(sorted({f_ for f_, _g in _ret_want2.values()}), pa.string())
+
+            def _sig_pick(b: pa.Table) -> pa.Table:
+                mm = b.filter(
+                    pc.and_(
+                        pc.equal(b.column("label"), "METHOD"),
+                        pc.is_in(b.column("full_name"), value_set=_fset),
+                    )
+                )
+                return pa.table(
+                    {
+                        "full_name": mm.column("full_name"),
+                        "signature": mm.column("signature"),
+                    }
+                )
+
+            _sig_by = {}
+            for bb in (
+                ray.data.read_parquet(
+                    canon_path, columns=["label", "full_name", "signature"]
+                )
+                .map_batches(_sig_pick, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+            ):
+                _sig_by.update(
+                    zip(
+                        bb.column("full_name").to_pylist(),
+                        bb.column("signature").to_pylist(),
+                    )
+                )
+            # known-membership for the candidate: cand must be a real
+            # method — verify via a second tiny streamed filter
+            _cands = {}
+            for fqn, (f_name, g_name) in _ret_want2.items():
+                rt = _ret_type_of(_sig_by.get(f_name))
+                if rt:
+                    _cands[fqn] = f"{rt}.{g_name}"
+            if _cands:
+                _carr = pa.array(sorted(set(_cands.values())), pa.string())
+
+                def _known_pick(b: pa.Table) -> pa.Table:
+                    mm = b.filter(
+                        pc.and_(
+                            pc.equal(b.column("label"), "METHOD"),
+                            pc.is_in(b.column("full_name"), value_set=_carr),
+                        )
+                    )
+                    return pa.table({"full_name": mm.column("full_name")})
+
+                _known_c: set = set()
+                for bb in (
+                    ray.data.read_parquet(canon_path, columns=["label", "full_name"])
+                    .map_batches(_known_pick, batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow")
+                ):
+                    _known_c.update(bb.column("full_name").to_pylist())
+                for fqn, cand in _cands.items():
+                    if cand in _known_c:
+                        dyn_fqn[fqn] = [cand]
     dyn_ref = ray.put(dyn_fqn)
     _mark("control_plane")
     if use_broadcast:

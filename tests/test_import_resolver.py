@@ -107,3 +107,79 @@ def test_import_module_path_join(ray_session, tmp_path_factory):
         lab == "IMPORT"
         for lab in nodes.column("label").to_pylist()
     )
+
+
+def test_import_module_path_join_distributed_regime(ray_session, tmp_path_factory, monkeypatch):
+    """JOERN_RAY_DYN_GATE=0 forces the distributed control plane; the
+    import-resolver refinement must still link foo.bar() to the foo.py
+    definition (streamed small-probe scans, no driver O(corpus))."""
+    import ray.data
+
+    from joern_ray.pipelines.cpg import build_cpg
+
+    monkeypatch.setenv("JOERN_RAY_DYN_GATE", "0")
+    out = str(tmp_path_factory.mktemp("impd") / "cpg")
+
+    def docs_factory(columns):
+        t = pa.table(
+            {
+                "url": [
+                    "https://mods/foo.py",
+                    "https://mods/other.py",
+                    "https://mods/app.py",
+                ],
+                "warc_ts": pa.array([0, 0, 0], pa.timestamp("us")),
+                "html": pa.array(
+                    [DOC_FOO.encode(), DOC_OTHER.encode(), DOC_APP.encode()],
+                    pa.large_binary(),
+                ),
+                "text": ["", "", ""],
+                "lang": ["en", "en", "en"],
+            }
+        )
+        return ray.data.from_arrow(t)
+
+    res = build_cpg(docs_factory, out, "impd-1", num_partitions=2, parse_concurrency=1)
+    assert res["dyn_regime"] == "distributed"
+    nodes = pa.concat_tables(
+        list(
+            ray.data.read_parquet(
+                res["nodes_path"], columns=["id", "label", "name", "full_name", "url"]
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    edges = pa.concat_tables(
+        list(
+            ray.data.read_parquet(
+                res["edges_path"], columns=["subj", "pred", "obj"]
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    call = nodes.filter(
+        pc.and_(
+            pc.and_(
+                pc.equal(nodes.column("label"), "CALL"),
+                pc.equal(pc.coalesce(nodes.column("name"), pa.scalar("")), "bar"),
+            ),
+            pc.equal(nodes.column("url"), "https://mods/app.py"),
+        )
+    )
+    cid = call.column("id")[0].as_py()
+    byid = dict(
+        zip(
+            nodes.column("id").to_pylist(),
+            zip(nodes.column("label").to_pylist(), nodes.column("url").to_pylist()),
+        )
+    )
+    targets = [
+        byid[o]
+        for s, p, o in zip(
+            edges.column("subj").to_pylist(),
+            edges.column("pred").to_pylist(),
+            edges.column("obj").to_pylist(),
+        )
+        if p == "CALL" and s == cid and o in byid
+    ]
+    assert targets and all(
+        lab == "METHOD" and u == "https://mods/foo.py" for lab, u in targets
+    )
