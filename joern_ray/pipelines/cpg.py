@@ -596,7 +596,21 @@ def build_cpg(
         _imp_names = _sv_keys(_f("im_c") > 0)
         imported = {n.rsplit(".", 1)[0] if "." in n else n for n in _imp_names if n}
         imported |= {n for n in _imp_names if n}
+        # demand gate BEFORE the module-dimension scans: only when some
+        # UNRESOLVED call actually carries an imported prefix do the
+        # FILE/NAMESPACE projections run (library includes like stdio.h
+        # are imported in every C corpus but resolve nothing — without
+        # this gate two node-split scans ran on every build, ~3s at
+        # sf0.1)
+        pre_want: dict[str, tuple[str, str]] = {}
         if imported:
+            for fqn in ca_fqns:
+                if fqn in known or fqn in dyn_fqn or "." not in fqn:
+                    continue
+                mname, f = fqn.rsplit(".", 1)
+                if mname in imported:
+                    pre_want[fqn] = (mname, f)
+        if pre_want:
             _file_t = _node_proj("FILE", ["url"])
 
             def _stem(u: str) -> str:
@@ -618,13 +632,11 @@ def build_cpg(
             ):
                 if nm and u:
                     module_dim.setdefault(nm, u)
-            want: dict[str, tuple[str, str]] = {}
-            for fqn in ca_fqns:
-                if fqn in known or fqn in dyn_fqn or "." not in fqn:
-                    continue
-                mname, f = fqn.rsplit(".", 1)
-                if mname in imported and mname in module_dim:
-                    want[fqn] = (module_dim[mname], f)
+            want: dict[str, tuple[str, str]] = {
+                fqn: (module_dim[mname], f)
+                for fqn, (mname, f) in pre_want.items()
+                if mname in module_dim
+            }
             if want and n_mt:
                 _urls = pa.array(sorted({u for u, _f2 in want.values()}), pa.string())
                 _meth_t = pads.dataset(canon_path, format="parquet").to_table(
