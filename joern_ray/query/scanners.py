@@ -1154,13 +1154,13 @@ BUNDLE: tuple[Query, ...] = (
         "insecure-protocol", "cleartext http:// URL", 4.0,
         q_insecure_protocol, ("kotlin", "cwe-319"),
         CodeExamples(
-            "public class Net {\n  public int go() {\n"
-            '    int u = openConnection("http://example.com/api");\n'
-            "    return u;\n  }\n}\n",
-            "public class NetOk {\n  public int go() {\n"
-            '    int u = openConnection("https://example.com/api");\n'
-            "    return u;\n  }\n}\n",
-            "java",
+            "fun go(): Int {\n"
+            '    val u = openConnection("http://example.com/api")\n'
+            "    return u\n}\n",
+            "fun goOk(): Int {\n"
+            '    val u = openConnection("https://example.com/api")\n'
+            "    return u\n}\n",
+            "kotlin",
         ),
     ),
     Query(

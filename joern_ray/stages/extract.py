@@ -134,6 +134,8 @@ _LANG_ALIASES = {
     "ruby": "ruby",
     "rb": "ruby",
     "php": "php",
+    "kotlin": "kotlin",
+    "kt": "kotlin",
 }
 
 

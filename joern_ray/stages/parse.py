@@ -186,6 +186,7 @@ class ParseFragments:
 
     def __init__(self, cache_size: int = 4096, with_overlays: bool = True) -> None:
         from ..parsing.gofrontend import GoFragmentParser
+        from ..parsing.kotlinfrontend import KotlinFragmentParser
         from ..parsing.phpfrontend import PhpFragmentParser
         from ..parsing.pyfrontend import PyFragmentParser
         from ..parsing.rubyfrontend import RubyFragmentParser
@@ -197,6 +198,7 @@ class ParseFragments:
         self.parsers["go"] = GoFragmentParser()
         self.parsers["ruby"] = RubyFragmentParser()
         self.parsers["php"] = PhpFragmentParser()
+        self.parsers["kotlin"] = KotlinFragmentParser()
         self.cache: OrderedDict[tuple[int, str], dict] = OrderedDict()
         self.cache_size = cache_size
         self.with_overlays = with_overlays
