@@ -19,7 +19,45 @@ import json
 import os
 import time
 
-ENGINE_VERSION = "0.6.0"  # bumped: survey im_c column; fused dims+spec hive layout; ruby frontend
+ENGINE_VERSION = "0.7.0"  # bumped: <ret:> containment, kotlin body MEMBERs, php tag fix, ast_link
+
+_PARSER_FP: str | None = None
+
+
+def parser_fingerprint() -> str:
+    """Content hash of every parse-output-affecting module, folded into
+    the build fingerprint by `build_cpg` — a checkpoint taken before ANY
+    parser change resumes as stale instead of silently lacking the new
+    nodes (ADVICE r4: manual ENGINE_VERSION bumps were missed for
+    same-version parse changes).  Cached per process; ~10 small files."""
+    global _PARSER_FP
+    if _PARSER_FP is None:
+        import hashlib
+
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        paths = sorted(
+            [
+                os.path.join(pkg, "parsing", f)
+                for f in os.listdir(os.path.join(pkg, "parsing"))
+                if f.endswith(".py")
+            ]
+            + [
+                os.path.join(pkg, "stages", "parse.py"),
+                os.path.join(pkg, "stages", "extract.py"),
+                os.path.join(pkg, "stages", "survey.py"),
+                os.path.join(pkg, "graph", "cfg.py"),
+                os.path.join(pkg, "schemas.py"),
+            ]
+        )
+        h = hashlib.sha1()
+        for p in paths:
+            try:
+                with open(p, "rb") as f:
+                    h.update(f.read())
+            except OSError:
+                h.update(p.encode())
+        _PARSER_FP = h.hexdigest()[:12]
+    return _PARSER_FP
 
 
 def _footer_row_count(path: str) -> tuple[int, list[str]]:
@@ -151,13 +189,41 @@ def partitioned_write(
             batch = batch.filter(pa.array(keep))
         return batch
 
-    sort_cols = [c for c in (key, "pred", "obj", "label", "full_name") if c in ds.schema().names]
+    sort_cols = [
+        c
+        for c in (key, "pred", "obj", "variable", "label", "full_name")
+        if c in ds.schema().names
+    ]
+    # edge-shaped tables get the global edge-duplication guard (reference
+    # `DynamicCallLinker.scala:181-192` checks existing edges before
+    # adding): two linker passes resolving the same call must emit ONE
+    # edge.  Partitioning is by hash(subj), so a within-partition dedup
+    # after the sort IS global over this root — no extra shuffle.
+    is_edges = key == "subj"
 
     def write_group(batch: pa.Table) -> pa.Table:
         part = batch.column("part")[0].as_py()
         batch = batch.take(
             pc.sort_indices(batch, sort_keys=[(c, "ascending") for c in sort_cols])
         ).drop_columns(["part"])
+        if is_edges and batch.num_rows > 1:
+            keep = np.zeros(batch.num_rows, dtype=bool)
+            keep[0] = True
+            for c in ("subj", "pred", "obj", "variable"):
+                col = batch.column(c)
+                neq = pc.not_equal(col.slice(1), col.slice(0, batch.num_rows - 1))
+                # null-safe: is_valid XOR handles null-vs-value; two nulls
+                # compare equal for dedup purposes
+                v = col.is_valid()
+                v_hi = v.combine_chunks().to_numpy(zero_copy_only=False) if isinstance(v, pa.ChunkedArray) else v.to_numpy(zero_copy_only=False)
+                neq_np = pc.coalesce(neq, pa.scalar(False))
+                neq_np = (
+                    neq_np.combine_chunks().to_numpy(zero_copy_only=False)
+                    if isinstance(neq_np, pa.ChunkedArray)
+                    else neq_np.to_numpy(zero_copy_only=False)
+                )
+                keep[1:] |= neq_np | (v_hi[1:] != v_hi[:-1])
+            batch = batch.filter(pa.array(keep))
         sub = os.path.join(path, f"part={part}")
         os.makedirs(sub, exist_ok=True)
         fp = os.path.join(sub, "data.parquet")

@@ -257,18 +257,57 @@ class KotlinFragmentParser(FragmentParser):
             self._expect("{")
             while not self._at_eof() and not self._at("}"):
                 before = self.i
-                for n in self._parse_stmt_safe():
-                    if n.label == "METHOD":
-                        td.add(n)
-                        td.extra_edges.append(("BINDS", n))
-                    else:
-                        td.add(n)
+                # body `val`/`var` property declarations are MEMBERs
+                # (kotlin2cpg's member lowering) — routed to _kt_decl
+                # they became LOCALs and FieldAccessLinkerPass missed them
+                j = 0
+                while (
+                    self._tok(j).kind == "id"
+                    and self._tok(j).text in _KT_MODIFIERS
+                ):
+                    j += 1
+                if (
+                    self._tok(j).text in ("val", "var")
+                    and self._tok(j + 1).kind == "id"
+                ):
+                    self.i += j
+                    for mem in self._kt_member(name_t.text):
+                        td.add(mem)
+                else:
+                    for n in self._parse_stmt_safe():
+                        if n.label == "METHOD":
+                            td.add(n)
+                            td.extra_edges.append(("BINDS", n))
+                        else:
+                            td.add(n)
                 if self.i == before:
                     self.i += 1
             self._accept("}")
         self.class_members_stack.pop()
         self.class_name_stack.pop()
         return td
+
+    def _kt_member(self, cls: str) -> list[PNode]:
+        """Class-body `val x[: T] [= e]` -> MEMBER (registered in
+        class_members_stack so `this.x` field accesses resolve)."""
+        kw = self._tok()
+        self.i += 1
+        name_t = self._tok()
+        if name_t.kind != "id":
+            return []
+        self.i += 1
+        typ = self._kt_type()
+        mem = self._new(
+            "MEMBER", name_t, name=name_t.text,
+            code=f"{kw.text} {name_t.text}", type_full_name=typ,
+        )
+        mem.full_name = f"{cls}.{name_t.text}"
+        if self.class_members_stack:
+            self.class_members_stack[-1][name_t.text] = mem
+        if self._accept("="):
+            self._parse_expr()  # initializer: consumed, lowered to <init> elsewhere
+        self._accept(";")
+        return [mem]
 
     def _kt_decl(self) -> list[PNode]:
         """`val x[: T] = e` / `var x[: T] [= e]` -> LOCAL + assignment;

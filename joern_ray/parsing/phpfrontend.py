@@ -17,13 +17,9 @@ SAFEDISPATCH — the same pathway as every other frontend.
 
 from __future__ import annotations
 
-import re
-
 from .astmodel import FRAG_PLACEHOLDER, PNode, STATIC_DISPATCH
 from .parser import FragmentParser, ParseError
 from .tokenizer import tokenize
-
-_PHP_TAG = re.compile(r"<\?(?:php|=)?|\?>")
 
 _VISIBILITY = frozenset(
     "public private protected static final abstract var readonly".split()
@@ -32,8 +28,41 @@ _VISIBILITY = frozenset(
 
 def _strip_tags(src: str) -> str:
     """Blank out `<?php` / `<?=` / `?>` with same-length spaces so all
-    byte offsets (code slices, line/col) stay aligned."""
-    return _PHP_TAG.sub(lambda m: " " * len(m.group(0)), src)
+    byte offsets (code slices, line/col) stay aligned.
+
+    String-literal aware: a `?>` inside `echo "a?>b"` (or a `<?` in a
+    quoted HTML/regex payload) is part of the literal's text and must
+    survive — a regex over the whole source corrupted such literals.
+    Single-char scanner tracking quote state ('...' / "..." with \\
+    escapes); tags inside comments are still blanked (harmless)."""
+    out = list(src)
+    i, n = 0, len(src)
+    quote: str | None = None
+    while i < n:
+        ch = src[i]
+        if quote is not None:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            i += 1
+            continue
+        if ch == "<" and src.startswith("<?", i):
+            ln = 5 if src.startswith("<?php", i) else 3 if src.startswith("<?=", i) else 2
+            out[i : i + ln] = " " * ln
+            i += ln
+            continue
+        if ch == "?" and src.startswith("?>", i):
+            out[i : i + 2] = "  "
+            i += 2
+            continue
+        i += 1
+    return "".join(out)
 
 
 class PhpFragmentParser(FragmentParser):

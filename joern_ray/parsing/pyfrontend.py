@@ -699,11 +699,29 @@ class PyFragmentParser:
                                 break
                         if hints and len(hints) == 1:
                             t = next(iter(hints))
-                            recv.type_full_name = recv.type_full_name or t
+                            # a symbolic `<ret:f>` hint routes the call
+                            # fqn to the control plane's iteration-2
+                            # resolution but must NOT type the receiver:
+                            # an unresolvable sentinel would otherwise
+                            # materialize as a phantom TYPE node /
+                            # EVAL_TYPE target (the reference never
+                            # emits such names)
+                            if not t.startswith("<ret:"):
+                                recv.type_full_name = recv.type_full_name or t
                             mfn = f"{t}.{name}"
                         elif hints:
-                            hint_list = sorted(f"{t}.{name}" for t in hints)
-                            mfn = f"{base.id}.{name}"
+                            # multi-hint: `<ret:` sentinels are excluded
+                            # from the XTypeHintCallLinker probe list —
+                            # the hint linker cannot resolve them and
+                            # they would leak as speculative stub names
+                            real = sorted(t for t in hints if not t.startswith("<ret:"))
+                            if len(real) == 1:
+                                recv.type_full_name = recv.type_full_name or real[0]
+                                mfn = f"{real[0]}.{name}"
+                            else:
+                                if len(real) > 1:
+                                    hint_list = [f"{t}.{name}" for t in real]
+                                mfn = f"{base.id}.{name}"
                         else:
                             mfn = f"{base.id}.{name}"
                     else:

@@ -215,6 +215,13 @@ def build_cpg(
             _t[-1] = time.perf_counter()
 
     os.makedirs(out_dir, exist_ok=True)
+    # fold the parser-code fingerprint into the lineage fingerprint: any
+    # parse-output-affecting code change invalidates checkpoints without
+    # relying on a manual ENGINE_VERSION bump (ADVICE r4)
+    from ..io.checkpoint import parser_fingerprint
+
+    user_fingerprint = fingerprint
+    fingerprint = f"{fingerprint}+p{parser_fingerprint()}"
     parse_path = os.path.join(out_dir, "parse")
     dims_path = os.path.join(out_dir, "dims")
     edges_path = os.path.join(out_dir, "edges")
@@ -712,6 +719,9 @@ def build_cpg(
             cands = name_to_fqns.get(fqn.rsplit(".", 1)[-1])
             if cands and len(cands) == 1:
                 dyn_fqn[fqn] = [cands[0]]
+        unres_ret = any(
+            f.startswith("<ret:") and f not in dyn_fqn for f in ca_fqns
+        )
     else:
         if n_mt:
 
@@ -1001,6 +1011,7 @@ def build_cpg(
                 for fqn, cand in _cands.items():
                     if cand in _known_c:
                         dyn_fqn[fqn] = [cand]
+        unres_ret = any(f not in dyn_fqn for f in _ret_fqns)
     dyn_ref = ray.put(dyn_fqn)
     _mark("control_plane")
     if use_broadcast:
@@ -1115,10 +1126,10 @@ def build_cpg(
         meta_t = rows_to_table(
             [
                 {
-                    "id": hash64("META_DATA", fingerprint),
+                    "id": hash64("META_DATA", user_fingerprint),
                     "label": "META_DATA",
                     "name": "joern_ray",
-                    "full_name": fingerprint,
+                    "full_name": user_fingerprint,
                     "signature": _ENGINE_VERSION,
                     # overlays present in this build (reference
                     # `MetaDataPass.scala:15-39` records language+overlays)
@@ -1163,6 +1174,10 @@ def build_cpg(
                 pc.greater(pc.add(b.column("ca_c"), b.column("th_c")), 0),
                 pc.equal(b.column("m_c"), 0),
             )
+            # unresolved `<ret:f>.g` sentinels never materialize as stub
+            # names (ADVICE r4): they collapse onto the single
+            # <unknownFullName> stub emitted with meta_t below
+            keep = pc.and_(keep, pc.invert(pc.starts_with(keys, "<ret:")))
             dk = _KEYSET_CACHE.get(dyn_keys_ref.hex())
             if dk is None:
                 dk = _ray.get(dyn_keys_ref)
@@ -1193,6 +1208,12 @@ def build_cpg(
                         ["<speculatedMethods>"], "NAMESPACE", namespace_id
                     ),
                 ]
+            )
+        # the ONE shared stub every unresolved `<ret:` call links to
+        # (CallLinker._primary / join_group rewrite the edge target)
+        if unres_ret:
+            meta_t = pa.concat_tables(
+                [meta_t, stub_nodes_batch(["<unknownFullName>"], {})]
             )
         # ONE execution writes BOTH outputs (round-3 verdict #9: fewer
         # Dataset executions): node-shaped dim/stub rows and the

@@ -497,7 +497,15 @@ class CallLinker:
             if c:
                 return c[0]
             got = idx.get(u)
-            return got if got is not None else stub_id(u)
+            if got is not None:
+                return got
+            # unresolved symbolic `<ret:f>.g` fqns collapse onto the
+            # shared <unknownFullName> stub — the reference never
+            # materializes `<ret:` names (ADVICE r4; Joern's
+            # Defines.UnresolvedNamespace convention)
+            if u.startswith("<ret:"):
+                return stub_id("<unknownFullName>")
+            return stub_id(u)
 
         targets = np.array([_primary(u) for u in uniq], dtype=np.uint64)
         dict_idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1751,9 +1759,12 @@ def salted_call_link(
                 return (
                     pa.concat_tables(parts) if parts else EDGES_SCHEMA.empty_table()
                 )
-            obj = np.full(
-                fb.num_rows, stub_id(fb.column("fqn")[0].as_py()), dtype=np.uint64
-            )
+            miss_fqn = fb.column("fqn")[0].as_py()
+            # regime parity with CallLinker._primary: unresolved `<ret:`
+            # sentinels collapse onto the shared <unknownFullName> stub
+            if miss_fqn.startswith("<ret:"):
+                miss_fqn = "<unknownFullName>"
+            obj = np.full(fb.num_rows, stub_id(miss_fqn), dtype=np.uint64)
             pred = pc.if_else(
                 pc.equal(fb.column("lab"), "CALL"),
                 pa.scalar("CALL"),

@@ -328,3 +328,45 @@ def test_graphson_digest(tmp_path):
     }
     digest = hashlib.sha256(raw).hexdigest()
     assert digest == "401ec0efee9b338526b8617734023796330b786c915c968d46baf23acc257465"
+
+
+def test_partitioned_write_edge_duplication_guard(ray_session, tmp_path):
+    """Global (subj,pred,obj,variable) edge dedup on the linked-edge
+    write (reference guard `DynamicCallLinker.scala:181-192`): two
+    linker passes resolving the same call emit ONE edge; REACHING_DEF
+    rows differing only in `variable` both survive."""
+    import ray.data
+
+    from joern_ray.io.checkpoint import partitioned_write
+
+    t = pa.table(
+        {
+            "subj": pa.array([1, 1, 1, 2, 2, 2, 3], pa.uint64()),
+            "pred": ["CALL", "CALL", "CALL", "REACHING_DEF", "REACHING_DEF", "REACHING_DEF", "REF"],
+            "obj": pa.array([10, 10, 11, 20, 20, 20, 30], pa.uint64()),
+            "variable": [None, None, None, "x", "y", "x", None],
+        }
+    )
+    out = str(tmp_path / "edges")
+    partitioned_write(ray.data.from_arrow(t), out, "edges", "dupguard-1", 4)
+    got = pa.concat_tables(
+        list(
+            ray.data.read_parquet(out, columns=["subj", "pred", "obj", "variable"])
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    rows = sorted(
+        zip(
+            got.column("subj").to_pylist(),
+            got.column("pred").to_pylist(),
+            got.column("obj").to_pylist(),
+            got.column("variable").to_pylist(),
+        )
+    )
+    assert rows == [
+        (1, "CALL", 10, None),  # planted duplicate collapsed
+        (1, "CALL", 11, None),
+        (2, "REACHING_DEF", 20, "x"),  # variable-distinct rows survive
+        (2, "REACHING_DEF", 20, "y"),
+        (3, "REF", 30, None),
+    ]

@@ -173,3 +173,27 @@ def test_kotlin_pipeline_dynamic_dispatch(ray_session, tmp_path_factory):
         if p == "CALL" and s == cid
     }
     assert {"Animal.speak", "Dog.speak"} <= targets
+
+
+def test_body_val_var_properties_are_members():
+    # ADVICE r4: body-declared `val`/`var` properties must be MEMBERs
+    # (kotlin2cpg member lowering), not LOCALs
+    src = """class Config {
+    val host: String = "localhost"
+    private var port: Int = 8080
+    fun show(): Int {
+        val tmp = 1
+        return tmp
+    }
+}
+"""
+    _root, (nodes, _e) = _parse(src)
+    members = {n["name"]: n for n in nodes if n["label"] == "MEMBER"}
+    assert {"host", "port"} <= set(members)
+    assert members["host"]["full_name"] == "Config.host"
+    assert members["host"]["type_full_name"] == "String"
+    assert members["port"]["full_name"] == "Config.port"
+    # method-local val stays a LOCAL
+    locals_ = {n["name"] for n in nodes if n["label"] == "LOCAL"}
+    assert "tmp" in locals_
+    assert "host" not in locals_

@@ -175,3 +175,20 @@ def test_php_pipeline_dynamic_dispatch(ray_session, tmp_path_factory):
         if p == "CALL" and s == cid
     }
     assert {"Animal.speak", "Dog.speak"} <= targets
+
+
+def test_strip_tags_preserves_string_literals():
+    # ADVICE r4: `?>` / `<?` inside string literals are literal text —
+    # a whole-source regex blanked them and corrupted LITERAL nodes
+    from joern_ray.parsing.phpfrontend import _strip_tags
+
+    src = '<?php\n$s = "a?>b";\n$t = \'x<?php y\';\necho $s;\n?>'
+    stripped = _strip_tags(src)
+    assert '"a?>b"' in stripped
+    assert "'x<?php y'" in stripped
+    assert "<?php" not in stripped.replace("x<?php y", "")
+    assert len(stripped) == len(src)  # offsets preserved
+    # and the literal survives into the parsed graph
+    _root, (nodes, _e) = _parse(src)
+    lits = {n["code"] for n in nodes if n["label"] == "LITERAL"}
+    assert '"a?>b"' in lits

@@ -352,3 +352,84 @@ def test_rettype_iteration2_distributed_regime(ray_session, tmp_path, monkeypatc
         if p == "CALL"
     }
     assert (cid, target) in pairs
+
+
+def test_unresolved_ret_sentinel_never_materializes(ray_session, tmp_path):
+    """ADVICE r4: an unresolvable `<ret:f>` hint must not leak into the
+    graph as a phantom TYPE / EVAL_TYPE target / stub METHOD named
+    `<ret:f>.g` — the call collapses onto the shared <unknownFullName>
+    stub (the reference never materializes such names)."""
+    import ray.data
+
+    from joern_ray.pipelines.cpg import build_cpg
+    from joern_ray.stages.link import stub_id
+
+    doc = (
+        '<html><body><pre><code class="language-python">'
+        "def use():\n"
+        "    x = mystery()\n"
+        "    return x.frob()\n"
+        "</code></pre></body></html>"
+    )
+    out = str(tmp_path / "cpg")
+
+    def docs_factory(columns):
+        t = pa.table(
+            {
+                "url": ["https://retx/app.py"],
+                "warc_ts": pa.array([0], pa.timestamp("us")),
+                "html": pa.array([doc.encode()], pa.large_binary()),
+                "text": [""],
+                "lang": ["en"],
+            }
+        )
+        return ray.data.from_arrow(t)
+
+    res = build_cpg(docs_factory, out, "retx-1", num_partitions=2, parse_concurrency=1)
+    nodes = pa.concat_tables(
+        list(
+            ray.data.read_parquet(
+                res["nodes_path"], columns=["id", "label", "name", "full_name"]
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    # 1. no node of ANY label carries a <ret: name
+    for col in ("name", "full_name"):
+        leaked = nodes.filter(
+            pc.starts_with(pc.coalesce(nodes.column(col), pa.scalar("")), "<ret:")
+        )
+        assert leaked.num_rows == 0, f"<ret: sentinel leaked into {col}"
+    # 2. the shared <unknownFullName> stub exists exactly once
+    unk = nodes.filter(
+        pc.equal(
+            pc.coalesce(nodes.column("full_name"), pa.scalar("")), "<unknownFullName>"
+        )
+    )
+    assert unk.num_rows == 1
+    assert unk.column("label")[0].as_py() == "METHOD"
+    # 3. the x.frob() CALL links to it
+    edges = pa.concat_tables(
+        list(
+            ray.data.read_parquet(
+                res["edges_path"], columns=["subj", "pred", "obj"]
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    call = nodes.filter(
+        pc.and_(
+            pc.equal(nodes.column("label"), "CALL"),
+            pc.equal(pc.coalesce(nodes.column("name"), pa.scalar("")), "frob"),
+        )
+    )
+    assert call.num_rows == 1
+    cid = call.column("id")[0].as_py()
+    targets = {
+        o
+        for s, p, o in zip(
+            edges.column("subj").to_pylist(),
+            edges.column("pred").to_pylist(),
+            edges.column("obj").to_pylist(),
+        )
+        if p == "CALL" and s == cid
+    }
+    assert stub_id("<unknownFullName>") in targets
