@@ -121,8 +121,17 @@ def run_cpg_build(num_cpus: int) -> dict:
         )
         if os.path.isdir(p)
     )
-    parse_edge_rows, _ = _footer_row_count(
-        os.path.join(res["parse_path"], "row_kind=edge")
+    # edges are multi-root too: parse-time AST/overlay edges + the small
+    # spec/astlink/inherit roots (each an independent linker pass output)
+    parse_edge_rows = sum(
+        _footer_row_count(p)[0]
+        for p in (
+            os.path.join(res["parse_path"], "row_kind=edge"),
+            os.path.join(res["out_dir"], "dims", "rk=edge"),
+            os.path.join(res["out_dir"], "edges_astlink"),
+            os.path.join(res["out_dir"], "edges_inherit"),
+        )
+        if os.path.isdir(p)
     )
     n_rows = node_rows + linked_manifest.get("total_rows", linked_manifest.get("rows", 0)) + parse_edge_rows
     return {

@@ -88,6 +88,8 @@ def edges_paths(out_dir: str) -> list[str]:
             os.path.join(out_dir, "edges"),
             os.path.join(out_dir, "parse", "row_kind=edge"),
             spec,
+            os.path.join(out_dir, "edges_astlink"),  # cross-fragment AstLinkerPass
+            os.path.join(out_dir, "edges_inherit"),  # XInheritanceFullNamePass
         ]
     )
 
@@ -511,6 +513,302 @@ def build_cpg(
         canonical_mt_for_write = None
     _mark("canonicalize")
 
+    # ---- stage: cross-fragment AstLinkerPass --------------------------
+    # (reference `x2cpg/.../base/AstLinkerPass.scala:10-62`) children of
+    # RENAMED duplicate TYPE_DECLs re-link to the canonical class so a
+    # class reopened across documents yields ONE AST tree.  Distributed
+    # bucketed join (both sides O(duplicated-class occurrences)); only
+    # the per-distinct-name canonical-id map is broadcast.  Own small
+    # edges root — unioning into the main link scan would break its
+    # streaming fusion (measured 2x, see edges_spec note below).
+    astlink_path = os.path.join(out_dir, "edges_astlink")
+    if os.path.isdir(astlink_path):
+        import shutil as _sh
+
+        _sh.rmtree(astlink_path)
+    td_dup_fqns = frozenset(_sv_keys(_f("td_c") >= 2))
+    if n_mt and td_dup_fqns:
+        from ..io.checkpoint import write_manifest as _wm
+        from ..stages.link import ast_link_cross_fragment
+
+        _canon_td_t = pads.dataset(canon_path, format="parquet").to_table(
+            columns=["label", "full_name", "id"],
+            filter=(pads.field("label") == "TYPE_DECL")
+            & pads.field("full_name").isin(
+                pa.array(sorted(td_dup_fqns), pa.string())
+            ),
+        )
+        canon_td_ids = dict(
+            zip(
+                _canon_td_t.column("full_name").to_pylist(),
+                _canon_td_t.column("id").to_pylist(),
+            )
+        )
+        if canon_td_ids:
+            ast_link_cross_fragment(
+                lambda: ray.data.read_parquet(
+                    canon_path,
+                    columns=[
+                        "id", "label", "name", "full_name", "url", "fragment_idx",
+                    ],
+                ),
+                td_dup_fqns,
+                canon_td_ids,
+            ).write_parquet(astlink_path)
+            _wm(astlink_path, "edges_astlink", parse_fp, 0.0)
+        _mark("astlink")
+
+    # ---- stage: XInheritanceFullNamePass (cross-document) -------------
+    # (reference `x2cpg/.../frontend/XInheritanceFullNamePass.scala:
+    # 1-142`: short/import-qualified inherited names canonicalize to the
+    # declaring TYPE_DECL's full name).  `class C(zoo.D)` records the
+    # dotted base `zoo.D`; when `zoo` is an IMPORTED module the module
+    # dimension (import-resolver pathway) resolves it to its doc and the
+    # TYPE_DECL `D` defined there.  Produces (a) an alias map consumed
+    # by BOTH dyn-closure regimes so override resolution crosses the
+    # import, (b) corrective INHERITS_FROM edges (own tiny root).  All
+    # probes are streamed small-set filters; the driver holds only hits.
+    from ..stages.link import type_id as _type_id
+
+    _imp_names_all = _sv_keys(_f("im_c") > 0)
+    imported_all = {
+        n.rsplit(".", 1)[0] if "." in n else n for n in _imp_names_all if n
+    }
+    imported_all |= {n for n in _imp_names_all if n}
+    inherit_alias: dict[str, str] = {}
+    _inherit_hits: list = []
+    # demand gate (same discipline as the import resolver's): the 'ty'
+    # survey kind carries ;-exploded inherits bases, so "any dotted type
+    # key with an imported prefix" is decidable from a streamed svagg
+    # scan — C corpora (stdio.h imports everywhere, no dotted bases)
+    # never pay the canonical_mt scan below
+    _inherit_demand = False
+    if imported_all and n_mt:
+        _imp_ref2 = ray.put(frozenset(imported_all))
+
+        def _dotted_ty(b: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            imps = _KEYSET_CACHE.get("s" + _imp_ref2.hex())
+            if imps is None:
+                imps = _ray.get(_imp_ref2)
+                _KEYSET_CACHE["s" + _imp_ref2.hex()] = imps
+            hit = b.filter(
+                pc.and_(
+                    pc.greater(b.column("ty_c"), 0),
+                    pc.match_substring(
+                        pc.coalesce(b.column("skey"), pa.scalar("")), "."
+                    ),
+                )
+            )
+            keep = [
+                k
+                for k in hit.column("skey").to_pylist()
+                if k and "." in k and k.rsplit(".", 1)[0] in imps
+            ]
+            return pa.table({"k": pa.array(keep, pa.string())})
+
+        for bb in (
+            ray.data.read_parquet(svagg_path, columns=["skey", "ty_c"])
+            .map_batches(_dotted_ty, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            if bb.num_rows:
+                _inherit_demand = True
+                break
+    if _inherit_demand:
+
+        def _dotted_td(b: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            imps = _KEYSET_CACHE.get("s" + _imp_ref2.hex())
+            if imps is None:
+                imps = _ray.get(_imp_ref2)
+                _KEYSET_CACHE["s" + _imp_ref2.hex()] = imps
+            m = pc.and_(
+                pc.equal(b.column("label"), "TYPE_DECL"),
+                pc.match_substring(
+                    pc.coalesce(b.column("type_full_name"), pa.scalar("")), "."
+                ),
+            )
+            hit = b.filter(m)
+            ids, tfns = [], []
+            for nid, tfn in zip(
+                hit.column("id").to_pylist(), hit.column("type_full_name").to_pylist()
+            ):
+                if any(
+                    "." in base and base.rsplit(".", 1)[0] in imps
+                    for base in (tfn or "").split(";")
+                ):
+                    ids.append(nid)
+                    tfns.append(tfn)
+            return pa.table(
+                {"id": pa.array(ids, pa.uint64()), "tfn": pa.array(tfns, pa.string())}
+            )
+
+        for bb in (
+            ray.data.read_parquet(
+                canon_path, columns=["id", "label", "type_full_name"]
+            )
+            .map_batches(_dotted_td, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            _inherit_hits.extend(
+                zip(bb.column("id").to_pylist(), bb.column("tfn").to_pylist())
+            )
+        want_bases = {
+            base
+            for _nid, tfn in _inherit_hits
+            for base in tfn.split(";")
+            if "." in base and base.rsplit(".", 1)[0] in imported_all
+        }
+        if want_bases:
+            _mods = {b.rsplit(".", 1)[0] for b in want_bases}
+            _mods_ref = ray.put(frozenset(_mods))
+
+            def _mod_scan(b: pa.Table) -> pa.Table:
+                import ray as _ray
+
+                mods = _KEYSET_CACHE.get("s" + _mods_ref.hex())
+                if mods is None:
+                    mods = _ray.get(_mods_ref)
+                    _KEYSET_CACHE["s" + _mods_ref.hex()] = mods
+                rows_m, rows_u = [], []
+                fl = b.filter(pc.equal(b.column("label"), "FILE"))
+                for u in fl.column("url").to_pylist():
+                    seg = (u or "").rstrip("/").rsplit("/", 1)[-1].split("?")[0]
+                    stem = seg.rsplit(".", 1)[0] if "." in seg else seg
+                    if stem in mods:
+                        rows_m.append(stem)
+                        rows_u.append(u)
+                ns = b.filter(
+                    pc.and_(
+                        pc.equal(b.column("label"), "NAMESPACE_BLOCK"),
+                        pc.is_in(
+                            pc.coalesce(b.column("name"), pa.scalar("")),
+                            value_set=pa.array(sorted(mods), pa.string()),
+                        ),
+                    )
+                )
+                rows_m += list(ns.column("name").to_pylist())
+                rows_u += list(ns.column("url").to_pylist())
+                return pa.table(
+                    {
+                        "mod": pa.array(rows_m, pa.string()),
+                        "url": pa.array(rows_u, pa.string()),
+                    }
+                )
+
+            _idim: dict[str, str] = {}
+            for m_, u_ in sorted(
+                (m_, u_)
+                for bb in ray.data.read_parquet(
+                    os.path.join(parse_path, "row_kind=node"),
+                    columns=["label", "name", "url"],
+                )
+                .map_batches(_mod_scan, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+                for m_, u_ in zip(
+                    bb.column("mod").to_pylist(), bb.column("url").to_pylist()
+                )
+            ):
+                _idim.setdefault(m_, u_)
+            _url_names = {
+                (_idim[b.rsplit(".", 1)[0]], b.rsplit(".", 1)[1])
+                for b in want_bases
+                if b.rsplit(".", 1)[0] in _idim
+            }
+            if _url_names:
+                _un_ref = ray.put(_url_names)
+
+                def _td_probe(b: pa.Table) -> pa.Table:
+                    import ray as _ray
+
+                    uns = _KEYSET_CACHE.get("s" + _un_ref.hex())
+                    if uns is None:
+                        uns = _ray.get(_un_ref)
+                        _KEYSET_CACHE["s" + _un_ref.hex()] = uns
+                    tt = b.filter(
+                        pc.and_(
+                            pc.equal(b.column("label"), "TYPE_DECL"),
+                            pc.invert(
+                                pc.match_substring(
+                                    pc.coalesce(b.column("full_name"), pa.scalar("")),
+                                    "<duplicate>",
+                                )
+                            ),
+                        )
+                    )
+                    keep = [
+                        i
+                        for i, (u_, n_) in enumerate(
+                            zip(
+                                tt.column("url").to_pylist(),
+                                tt.column("name").to_pylist(),
+                            )
+                        )
+                        if (u_, n_) in uns
+                    ]
+                    tt = tt.take(keep) if keep else tt.slice(0, 0)
+                    return pa.table(
+                        {
+                            "url": tt.column("url"),
+                            "name": tt.column("name"),
+                            "full_name": tt.column("full_name"),
+                        }
+                    )
+
+                _td_by: dict[tuple, str] = {}
+                for u_, n_, fn_ in sorted(
+                    (u_, n_, fn_)
+                    for bb in ray.data.read_parquet(
+                        canon_path, columns=["label", "name", "full_name", "url"]
+                    )
+                    .map_batches(_td_probe, batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow")
+                    for u_, n_, fn_ in zip(
+                        bb.column("url").to_pylist(),
+                        bb.column("name").to_pylist(),
+                        bb.column("full_name").to_pylist(),
+                    )
+                ):
+                    _td_by.setdefault((u_, n_), fn_)
+                for b in want_bases:
+                    m_, t_ = b.rsplit(".", 1)
+                    if m_ in _idim and (_idim[m_], t_) in _td_by:
+                        cand = _td_by[(_idim[m_], t_)]
+                        if cand != b:
+                            inherit_alias[b] = cand
+    inherit_path = os.path.join(out_dir, "edges_inherit")
+    if os.path.isdir(inherit_path):
+        import shutil as _sh2
+
+        _sh2.rmtree(inherit_path)
+    if inherit_alias:
+        import pyarrow.parquet as _pq
+
+        from ..io.checkpoint import write_manifest as _wm2
+
+        _ie = sorted(
+            (nid, _type_id(inherit_alias[base]))
+            for nid, tfn in _inherit_hits
+            for base in tfn.split(";")
+            if base in inherit_alias
+        )
+        _iet = pa.table(
+            {
+                "subj": pa.array([s for s, _o in _ie], pa.uint64()),
+                "pred": pa.array(["INHERITS_FROM"] * len(_ie), pa.string()),
+                "obj": pa.array([o for _s, o in _ie], pa.uint64()),
+                "variable": pa.nulls(len(_ie), pa.string()),
+            },
+            schema=EDGES_SCHEMA,
+        )
+        os.makedirs(inherit_path, exist_ok=True)
+        _pq.write_table(_iet, os.path.join(inherit_path, "data.parquet"))
+        _wm2(inherit_path, "edges_inherit", parse_fp, 0.0)
+    _mark("inherit_fullname")
+
     # ---- stage: link --------------------------------------------------
     # The TYPE_DECL inheritance projection (hierarchy for SAFEDISPATCH
     # dynamic dispatch) is read driver-side straight off the canonical
@@ -533,6 +831,29 @@ def build_cpg(
     #   joins; only the RESULT (O(dyn candidate pairs), the broadcast
     #   side both link regimes consume) reaches the driver.  Dynamic
     #   dispatch no longer silently degrades past the gate.
+    def _apply_inherit_alias(t: pa.Table) -> pa.Table:
+        """Rewrite ;-joined inherits lists through the cross-document
+        alias map (unique-value rewrite + dictionary scatter) so the
+        hierarchy closure sees canonical base names in BOTH regimes."""
+        if not inherit_alias or t.num_rows == 0:
+            return t
+        col = t.column("type_full_name")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        d = pc.dictionary_encode(col)
+        uniq = d.dictionary.to_pylist()
+
+        def rw(v):
+            if not v or "." not in v:
+                return v
+            return ";".join(inherit_alias.get(p_, p_) for p_ in v.split(";"))
+
+        new_col = pa.DictionaryArray.from_arrays(
+            d.indices, pa.array([rw(v) for v in uniq], pa.string())
+        ).cast(pa.string())
+        return t.set_column(
+            t.schema.get_field_index("type_full_name"), "type_full_name", new_col
+        )
+
     dyn_driver_gate = int(os.environ.get("JOERN_RAY_DYN_GATE", 20_000_000))
     dyn_regime = (
         "driver" if n_methods + n_calls <= dyn_driver_gate else "distributed"
@@ -557,6 +878,7 @@ def build_cpg(
                     "type_full_name": pa.array([], pa.string()),
                 }
             )
+        td_proj = _apply_inherit_alias(td_proj)
         known = frozenset(_sv_keys(_f("m_c") > 0))
         ca_fqns = _sv_keys(_f("ca_c") > 0)
         dyn_fqn = build_dyn_candidates(td_proj, ca_fqns, known)
@@ -732,7 +1054,11 @@ def build_cpg(
                         pc.coalesce(b.column("type_full_name"), pa.scalar("")), ""
                     ),
                 )
-                return b.filter(m).select(["full_name", "type_full_name"])
+                # inherit_alias is a small dict captured in the task
+                # closure (one entry per import-qualified base name)
+                return _apply_inherit_alias(
+                    b.filter(m).select(["full_name", "type_full_name"])
+                )
 
             td_ds = ray.data.read_parquet(
                 canon_path, columns=["label", "full_name", "type_full_name"]

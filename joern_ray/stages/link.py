@@ -1148,6 +1148,144 @@ def dyn_candidates_distributed(
     return pa.concat_tables(out_parts)
 
 
+def ast_link_cross_fragment(
+    canon_ds_factory, td_dup_fqns: frozenset, canon_td_ids: dict, num_buckets: int = 32
+):
+    """Cross-fragment AstLinkerPass analog (reference
+    `x2cpg/.../base/AstLinkerPass.scala:10-62`: METHOD/TYPE_DECL/MEMBER
+    whose astParentFullName names a parent declared elsewhere get the
+    AST edge there).
+
+    Our parse stage AST-links every child to its fragment-LOCAL parent;
+    the cross-fragment case is exactly the children of TYPE_DECLs that
+    `FullNameUniquenessPass` RENAMED (`C<duplicate>k`) — a class
+    reopened/extended across documents.  Those children re-link to the
+    canonical `C` so the graph has ONE AST tree per class name, not a
+    forest.
+
+    Fully distributed: children (parent fqn derived from the
+    `full_name = parent.name` convention every frontend uses) join the
+    renamed-duplicate TYPE_DECL rows on (url, fragment_idx, parent_fqn)
+    via `bucketed_join` — both sides are O(occurrences of duplicated
+    class names), far too big to collect at web scale.  Only the
+    canonical-id map (one entry per DISTINCT duplicated class name,
+    same order as the dup-fqn set the canonicalize stage already
+    broadcasts) ships to workers.
+
+    Returns a Dataset of EDGES_SCHEMA rows (canonical_td_id, AST, child).
+    """
+    import numpy as np
+    import ray
+
+    from ..util import bucketed_join
+
+    dup_arr = pa.array(sorted(td_dup_fqns), pa.string())
+    canon_ref = ray.put(canon_td_ids)
+
+    _EMPTY_CHILDREN = pa.table(
+        {
+            "c_url": pa.array([], pa.string()),
+            "c_frag": pa.array([], pa.int32()),
+            "c_parent": pa.array([], pa.string()),
+            "c_id": pa.array([], pa.uint64()),
+        }
+    )
+
+    def _children(b: pa.Table) -> pa.Table:
+        lab = b.column("label")
+        m = pc.is_in(lab, value_set=pa.array(["METHOD", "MEMBER", "TYPE_DECL"]))
+        b = b.filter(m)
+        if b.num_rows == 0:
+            return _EMPTY_CHILDREN
+        fn = pc.coalesce(b.column("full_name"), pa.scalar("")).combine_chunks()
+        nm = pc.coalesce(b.column("name"), pa.scalar("")).combine_chunks()
+        # strip a canonicalization rename suffix, then derive the parent
+        # from the `<parent>.<name>` convention (vectorized regex —
+        # non-dotted names extract null and drop out in the filter)
+        base = pc.replace_substring_regex(fn, r"<duplicate>\d+$", "")
+        ex = pc.extract_regex(base, r"^(?P<par>.+)\.(?P<last>[^.]+)$")
+        par = pc.struct_field(ex, 0)
+        last = pc.struct_field(ex, 1)
+        keep = pc.and_(pc.equal(last, nm), pc.is_in(par, value_set=dup_arr))
+        kept = b.append_column("c_parent", par).filter(keep)
+        if kept.num_rows == 0:
+            return _EMPTY_CHILDREN
+        return pa.table(
+            {
+                "c_url": kept.column("url").combine_chunks().cast(pa.string()),
+                "c_frag": kept.column("fragment_idx").combine_chunks().cast(pa.int32()),
+                "c_parent": kept.column("c_parent").combine_chunks().cast(pa.string()),
+                "c_id": kept.column("id").combine_chunks().cast(pa.uint64()),
+            }
+        )
+
+    def _dups(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(b.column("label"), "TYPE_DECL"),
+            pc.match_substring(
+                pc.coalesce(b.column("full_name"), pa.scalar("")), "<duplicate>"
+            ),
+        )
+        b = b.filter(m)
+        base = pc.replace_substring_regex(
+            pc.coalesce(b.column("full_name"), pa.scalar("")).combine_chunks(),
+            r"<duplicate>\d+$",
+            "",
+        )
+        return pa.table(
+            {
+                "d_url": b.column("url").combine_chunks().cast(pa.string()),
+                "d_frag": b.column("fragment_idx").combine_chunks().cast(pa.int32()),
+                "d_parent": base.cast(pa.string()) if isinstance(base, pa.ChunkedArray) else base,
+            }
+        )
+
+    children = canon_ds_factory().map_batches(_children, batch_format="pyarrow")
+    dups = canon_ds_factory().map_batches(_dups, batch_format="pyarrow")
+    joined = bucketed_join(
+        children,
+        [
+            ("c_url", pa.string()),
+            ("c_frag", pa.int32()),
+            ("c_parent", pa.string()),
+            ("c_id", pa.uint64()),
+        ],
+        dups,
+        [("d_url", pa.string()), ("d_frag", pa.int32()), ("d_parent", pa.string())],
+        on=["c_url", "c_frag", "c_parent"],
+        right_on=["d_url", "d_frag", "d_parent"],
+        how="inner",
+        num_buckets=num_buckets,
+    )
+
+    def _edges(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return EDGES_SCHEMA.empty_table()
+        cm = _KEYSET_CACHE_AL.get(canon_ref.hex())
+        if cm is None:
+            cm = ray.get(canon_ref)
+            _KEYSET_CACHE_AL[canon_ref.hex()] = cm
+        parents = b.column("c_parent").to_pylist()
+        subj = np.array([cm.get(p_, 0) for p_ in parents], dtype=np.uint64)
+        ok = subj != 0
+        obj = b.column("c_id").combine_chunks().to_numpy(zero_copy_only=False)[ok]
+        n = int(ok.sum())
+        return pa.table(
+            {
+                "subj": pa.array(subj[ok], pa.uint64()),
+                "pred": pa.array(["AST"] * n, pa.string()),
+                "obj": pa.array(obj, pa.uint64()),
+                "variable": pa.nulls(n, pa.string()),
+            },
+            schema=EDGES_SCHEMA,
+        )
+
+    return joined.map_batches(_edges, batch_format="pyarrow")
+
+
+_KEYSET_CACHE_AL: dict = {}
+
+
 def dyn_table_to_map(t: pa.Table) -> dict[str, list[str]]:
     """(fqn, cand, rank) rows -> fqn -> ordered candidate list (self /
     fallback first, then sorted subclass overrides — the
