@@ -43,7 +43,7 @@ def _corpus_path(n: int) -> str:
     from joern_ray.sources.corpus import docs_dataset
 
     path = os.path.join(BENCH_OUT, f"corpus_{n}")
-    marker = os.path.join(path, "_done_v6")
+    marker = os.path.join(path, "_done_v7")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
         docs_dataset(n, parallelism=max(8, n // 256)).write_parquet(path)
@@ -100,7 +100,7 @@ def run_cpg_build(num_cpus: int) -> dict:
     res = build_cpg(
         docs_factory,
         out,
-        f"bench-{n}-v4",
+        f"bench-{n}-v5",
         num_partitions=32,
         force_shuffle_link=bool(os.environ.get("JOERN_RAY_FORCE_SHUFFLE")),
     )

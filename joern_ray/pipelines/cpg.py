@@ -1442,7 +1442,12 @@ def build_cpg(
     import pyarrow.parquet as pq
 
     from ..io.checkpoint import write_manifest
-    from ..stages.link import dim_nodes_batch, stub_nodes_batch
+    from ..stages.link import (
+        dim_nodes_batch,
+        stub_nodes_batch,
+        typedecl_stub_batch,
+        typedecl_stub_id,
+    )
 
     dyn_keys_ref = ray.put(pa.array(sorted(dyn_fqn.keys()), pa.string()))
 
@@ -1460,7 +1465,7 @@ def build_cpg(
                     # overlays present in this build (reference
                     # `MetaDataPass.scala:15-39` records language+overlays)
                     "code": "base;cfg;dominators;cdg;reachingdef;contains;linking;typerel;dedup",
-                    "lang": "c;cpp;java;javascript;python",
+                    "lang": "c;cpp;java;javascript;python;go;ruby;php;kotlin;csharp",
                     "order": 0,
                     "argument_index": -1,
                     "line": -1,
@@ -1491,6 +1496,18 @@ def build_cpg(
                         [k for k in ns.column("skey").to_pylist() if k],
                         "NAMESPACE",
                         namespace_id,
+                    )
+                )
+            # TypeDeclStubCreator: referenced-but-undeclared types get an
+            # external TYPE_DECL stub (the REF edge from the TYPE
+            # dimension rides the fused spec-edge half below)
+            tds_ = b.filter(
+                pc.and_(pc.greater(b.column("ty_c"), 0), pc.equal(b.column("td_c"), 0))
+            )
+            if tds_.num_rows:
+                out.append(
+                    typedecl_stub_batch(
+                        [k for k in tds_.column("skey").to_pylist() if k]
                     )
                 )
             # stubs: unresolved call fqns PLUS unmatched type hints
@@ -1571,7 +1588,7 @@ def build_cpg(
         dims_ds = _rd.from_arrow(_pad(meta_t, "node")).union(
             _rd.read_parquet(
                 svagg_path,
-                columns=["skey", "m_c", "ty_c", "ns_c", "ca_c", "th_c", "s_max"],
+                columns=["skey", "m_c", "td_c", "ty_c", "ns_c", "ca_c", "th_c", "s_max"],
             ).map_batches(_dims_and_spec, batch_format="pyarrow")
         )
         import shutil as _shutil
@@ -1635,18 +1652,43 @@ def build_cpg(
             )
         s = b.filter(keep)
         fqns = [k for k in s.column("skey").to_pylist() if k]
-        if not fqns:
-            return EDGES_SCHEMA.empty_table()
-        ns_id = namespace_id("<speculatedMethods>")
-        return pa.table(
-            {
-                "subj": pa.array([ns_id] * len(fqns), pa.uint64()),
-                "pred": pa.array(["AST"] * len(fqns), pa.string()),
-                "obj": pa.array([stub_id(f) for f in sorted(fqns)], pa.uint64()),
-                "variable": pa.nulls(len(fqns), pa.string()),
-            },
-            schema=EDGES_SCHEMA,
+        parts = []
+        if fqns:
+            ns_id = namespace_id("<speculatedMethods>")
+            parts.append(
+                pa.table(
+                    {
+                        "subj": pa.array([ns_id] * len(fqns), pa.uint64()),
+                        "pred": pa.array(["AST"] * len(fqns), pa.string()),
+                        "obj": pa.array([stub_id(f) for f in sorted(fqns)], pa.uint64()),
+                        "variable": pa.nulls(len(fqns), pa.string()),
+                    },
+                    schema=EDGES_SCHEMA,
+                )
+            )
+        # TypeRefPass REF edges for TYPE_DECL stubs (TypeDeclStubCreator):
+        # TYPE dim -> external TYPE_DECL, same convention as declared types
+        tds_ = b.filter(
+            pc.and_(pc.greater(b.column("ty_c"), 0), pc.equal(b.column("td_c"), 0))
         )
+        td_fqns = sorted(k for k in tds_.column("skey").to_pylist() if k)
+        if td_fqns:
+            parts.append(
+                pa.table(
+                    {
+                        "subj": pa.array([type_id(f) for f in td_fqns], pa.uint64()),
+                        "pred": pa.array(["REF"] * len(td_fqns), pa.string()),
+                        "obj": pa.array(
+                            [typedecl_stub_id(f) for f in td_fqns], pa.uint64()
+                        ),
+                        "variable": pa.nulls(len(td_fqns), pa.string()),
+                    },
+                    schema=EDGES_SCHEMA,
+                )
+            )
+        if not parts:
+            return EDGES_SCHEMA.empty_table()
+        return pa.concat_tables(parts)
 
     # edges write + MinHash equivalence run concurrently (independent)
     import threading

@@ -256,10 +256,88 @@ def _f16_go(r: random.Random) -> str:
     )
 
 
-# (template fn, lang, weight) — language mix: C ~32 %, JS ~20 %, Java
-# ~14 %, Python ~14 % (round 2: pysrc2cpg-analog frontend; round 3:
-# type-hint client template), C++ ~7 %, Ruby ~6 % + Go ~4 % (round 4:
-# rubysrc2cpg-analog frontend; go template for the round-3 frontend).
+def _f17_csharp(r: random.Random) -> str:
+    """C# class hierarchy + var-allocation typing (csharpsrc2cpg-analog
+    frontend, round 5): `var s = new Svc()` types the local, s.Run
+    dispatches dynamically with the Retry override as candidate."""
+    k = r.randint(0, 99)
+    v = r.randint(1, 9)
+    return (
+        "using System;\n"
+        f"public class Svc{k} {{\n"
+        "    public int Total { get; set; }\n"
+        "    public virtual int Run(int x) {\n"
+        "        return x;\n"
+        "    }\n"
+        "}\n"
+        f"public class RetrySvc{k} : Svc{k} {{\n"
+        "    public override int Run(int x) {\n"
+        f"        return x + {v};\n"
+        "    }\n"
+        "}\n"
+        f"public static class App{r.randint(0, 199)} {{\n"
+        "    public static int Main(int n) {\n"
+        f"        var s = new Svc{k}();\n"
+        "        Console.WriteLine(n);\n"
+        "        return s.Run(n);\n"
+        "    }\n"
+        "}\n"
+    )
+
+
+def _f18_php(r: random.Random) -> str:
+    """PHP class + $this qualification + foreach (php2cpg-analog)."""
+    k = r.randint(0, 99)
+    v = r.randint(1, 9)
+    return (
+        "<?php\n"
+        f"class Cart{k} {{\n"
+        "  public $items;\n"
+        "  public function total($xs) {\n"
+        "    $sum = 0;\n"
+        "    foreach ($xs as $x) {\n"
+        "      $sum = $sum + $x;\n"
+        "    }\n"
+        "    return $sum;\n"
+        "  }\n"
+        "  public function checkout($xs) {\n"
+        f"    return $this->total($xs) + {v};\n"
+        "  }\n"
+        "}\n"
+        f"$c = new Cart{k}();\n"
+        "echo $c->checkout(array(1, 2));\n"
+        "?>\n"
+    )
+
+
+def _f19_kotlin(r: random.Random) -> str:
+    """Kotlin class + body property + when lowering (kotlin2cpg-analog)."""
+    k = r.randint(0, 99)
+    v = r.randint(1, 9)
+    return (
+        f"class Task{k}(val name: String) {{\n"
+        "    var retries: Int = 0\n"
+        "    fun run(x: Int): Int {\n"
+        "        return x\n"
+        "    }\n"
+        "}\n"
+        f"fun schedule{r.randint(0, 199)}(n: Int): Int {{\n"
+        f"    val t = Task{k}(\"job\")\n"
+        "    var total = 0\n"
+        "    when (n) {\n"
+        f"        0 -> total = {v}\n"
+        "        else -> total = n\n"
+        "    }\n"
+        "    return t.run(total)\n"
+        "}\n"
+    )
+
+
+# (template fn, lang, weight) — language mix: C ~29 %, JS ~16 %, Java
+# ~11 %, Python ~13 % (round 2: pysrc2cpg-analog frontend; round 3:
+# type-hint client template), C++ ~7 %, Ruby ~5 %, Go ~3 %, plus the
+# round-5 frontends C# ~4 %, PHP ~3 %, Kotlin ~3 % (corpus v5: every
+# shipped frontend appears in method_lang_counts).
 _TEMPLATES: list[tuple] = [
     (_f1_c_call, "c", 8),
     (_f2_c_def, "c", 4),
@@ -269,8 +347,8 @@ _TEMPLATES: list[tuple] = [
     (_f7_dup, "c", 4),
     (_f8_hot, "c", 8),
     (_f9_neardup, "c", 4),
-    (_f5_js, "javascript", 28),
-    (_f6_java, "java", 19),
+    (_f5_js, "javascript", 24),
+    (_f6_java, "java", 17),
     (_f12_py_def, "python", 8),
     (_f13_py_class, "python", 7),
     (_f14_py_client, "python", 5),
@@ -278,6 +356,9 @@ _TEMPLATES: list[tuple] = [
     (_f11_json, "json", 4),
     (_f15_ruby, "ruby", 8),
     (_f16_go, "go", 5),
+    (_f17_csharp, "csharp", 6),
+    (_f18_php, "php", 5),
+    (_f19_kotlin, "kotlin", 4),
 ]
 _TEMPLATE_POP = [t for t in _TEMPLATES for _ in range(t[2])]
 

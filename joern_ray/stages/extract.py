@@ -136,6 +136,9 @@ _LANG_ALIASES = {
     "php": "php",
     "kotlin": "kotlin",
     "kt": "kotlin",
+    "csharp": "csharp",
+    "cs": "csharp",
+    "c#": "csharp",
 }
 
 
@@ -150,6 +153,9 @@ _CONTENT_MARKERS: list[tuple[str, "re.Pattern"]] = [
     ("php", re.compile(r"<\?php|\$\w+\s*->")),
     ("c", re.compile(r"#include\s*<|\bprintf\s*\(|\bmalloc\s*\(")),
     ("cpp", re.compile(r"\bstd::|\btemplate\s*<|\bnullptr\b")),
+    # csharp BEFORE java: `public static class` matches both, the
+    # C#-only markers disambiguate
+    ("csharp", re.compile(r"\busing\s+System\b|\bnamespace\s+\w+|\bConsole\.Write")),
     ("java", re.compile(r"\bpublic\s+(static\s+)?(class|void|int)\b|\bSystem\.out\b")),
     ("go", re.compile(r"^package\s+\w+|\bfunc\s+\w+\s*\(", re.M)),
     ("ruby", re.compile(r"\bdef\s+\w+.*\n(.|\n)*?\bend\b|\battr_accessor\b")),

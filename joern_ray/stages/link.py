@@ -75,6 +75,30 @@ def dim_nodes_batch(keys: list[str], label: str, id_fn) -> pa.Table:
     return pa.table(cols, schema=NODES_SCHEMA)
 
 
+def typedecl_stub_id(fqn: str) -> int:
+    return hash64("TDSTUB", fqn)
+
+
+def typedecl_stub_batch(fqns: list[str]) -> pa.Table:
+    """TYPE_DECL stub rows for referenced-but-undeclared types
+    (reference `base/TypeDeclStubCreator.scala:13-58`: every TYPE whose
+    name has no declaration gets an external TYPE_DECL stub so member /
+    inheritance traversals don't dead-end at the TYPE dimension).  The
+    `<external>` code marks them (the reference's isExternal flag)."""
+    fqns = sorted(fqns)
+    t = dim_nodes_batch(fqns, "TYPE_DECL", typedecl_stub_id)
+    n = len(fqns)
+    names = [f.rsplit(".", 1)[-1] if "." in f else f for f in fqns]
+    t = t.set_column(
+        t.schema.get_field_index("name"), "name", pa.array(names, pa.string())
+    )
+    return t.set_column(
+        t.schema.get_field_index("code"),
+        "code",
+        pa.array(["<external>"] * n, pa.string()),
+    )
+
+
 def stub_nodes_batch(fqns: list[str], max_args: dict[str, int]) -> pa.Table:
     """METHOD stub rows for unresolved call fqns (reference
     `MethodStubCreator.scala:24-70`): the stub signature carries

@@ -185,6 +185,7 @@ class ParseFragments:
     _SUBST_COLS = ("full_name", "method_full_name", "type_full_name")
 
     def __init__(self, cache_size: int = 4096, with_overlays: bool = True) -> None:
+        from ..parsing.csharpfrontend import CSharpFragmentParser
         from ..parsing.gofrontend import GoFragmentParser
         from ..parsing.kotlinfrontend import KotlinFragmentParser
         from ..parsing.phpfrontend import PhpFragmentParser
@@ -199,6 +200,7 @@ class ParseFragments:
         self.parsers["ruby"] = RubyFragmentParser()
         self.parsers["php"] = PhpFragmentParser()
         self.parsers["kotlin"] = KotlinFragmentParser()
+        self.parsers["csharp"] = CSharpFragmentParser()
         self.cache: OrderedDict[tuple[int, str], dict] = OrderedDict()
         self.cache_size = cache_size
         self.with_overlays = with_overlays

@@ -370,3 +370,66 @@ def test_partitioned_write_edge_duplication_guard(ray_session, tmp_path):
         (2, "REACHING_DEF", 20, "y"),
         (3, "REF", 30, None),
     ]
+
+
+def test_typedecl_stubs_for_external_types(ray_session, tmp_path):
+    """TypeDeclStubCreator golden (reference
+    `base/TypeDeclStubCreator.scala:13-58`): a referenced-but-undeclared
+    type gets an external TYPE_DECL stub and the TYPE dimension REF-links
+    to it, so traversals go one hop further than the TYPE node."""
+    import ray.data
+
+    from joern_ray.pipelines.cpg import build_cpg
+    from joern_ray.stages.link import type_id, typedecl_stub_id
+
+    doc = (
+        '<html><body><pre><code class="language-python">'
+        "def f(x: Widget):\n"
+        "    return x\n"
+        "</code></pre></body></html>"
+    )
+    out = str(tmp_path / "cpg")
+
+    def docs_factory(columns):
+        t = pa.table(
+            {
+                "url": ["https://tds/app.py"],
+                "warc_ts": pa.array([0], pa.timestamp("us")),
+                "html": pa.array([doc.encode()], pa.large_binary()),
+                "text": [""],
+                "lang": ["en"],
+            }
+        )
+        return ray.data.from_arrow(t)
+
+    res = build_cpg(docs_factory, out, "tds-1", num_partitions=2, parse_concurrency=1)
+    nodes = pa.concat_tables(
+        list(
+            ray.data.read_parquet(
+                res["nodes_path"], columns=["id", "label", "name", "full_name", "code"]
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    # Widget is referenced (annotation) but never declared -> stub
+    stub = nodes.filter(
+        pc.equal(nodes.column("id"), pa.scalar(typedecl_stub_id("Widget"), pa.uint64()))
+    )
+    assert stub.num_rows == 1
+    assert stub.column("label")[0].as_py() == "TYPE_DECL"
+    assert stub.column("code")[0].as_py() == "<external>"
+    assert stub.column("full_name")[0].as_py() == "Widget"
+    edges = pa.concat_tables(
+        list(
+            ray.data.read_parquet(
+                res["edges_path"], columns=["subj", "pred", "obj"]
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    trip = set(
+        zip(
+            edges.column("subj").to_pylist(),
+            edges.column("pred").to_pylist(),
+            edges.column("obj").to_pylist(),
+        )
+    )
+    assert (type_id("Widget"), "REF", typedecl_stub_id("Widget")) in trip
