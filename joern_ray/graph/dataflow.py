@@ -122,6 +122,24 @@ def _flow_projection(edges_ds_factory, preds: tuple):
     )
 
 
+def _np_lookup(
+    keys: "np.ndarray", vals: "np.ndarray", probe: "np.ndarray", default
+) -> "np.ndarray":
+    """Vectorized dict lookup over numpy arrays (unique keys, any order):
+    searchsorted-based — the null-safe idiom this repo uses instead of
+    pyarrow .take on null-capable columns."""
+    if keys.size == 0 or probe.size == 0:
+        return np.full(probe.size, default, dtype=vals.dtype if vals.size else np.int64)
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    sv = vals[order]
+    pos = np.searchsorted(sk, probe)
+    pos_c = np.clip(pos, 0, sk.size - 1)
+    hit = sk[pos_c] == probe
+    out = np.where(hit, sv[pos_c], default)
+    return out
+
+
 import os as _os
 
 # Frontiers above this gate hop via a distributed hash JOIN instead of a
@@ -384,6 +402,18 @@ def reachable_by_interproc(
     out_nodes: list[np.ndarray] = [sinks]
     out_cd: list[np.ndarray] = [np.zeros(sinks.size, dtype=np.int32)]
 
+    def _meta_idx_arrays(meta_t, col: str, default: int = -1):
+        """(sorted ids, values) numpy pair for `_np_lookup` — nulls map to
+        `default` (pyarrow .take on null-capable columns corrupts; plain
+        to_numpy + where is safe)."""
+        ids = meta_t.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        vals = (
+            pc.coalesce(meta_t.column(col), pa.scalar(default))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return ids, vals
+
     def _semantic_expand(level_nodes: np.ndarray) -> np.ndarray:
         """Per-callsite FlowSemantic propagation (reference
         `DefaultSemantics.scala:24-113` + `FlowSemantic` mappings):
@@ -396,12 +426,20 @@ def reachable_by_interproc(
           PassThroughMapping default;
         - reached ARGUMENT at index k of a semantics call -> the sibling
           source arguments with an `(s, k)` mapping (e.g. strncpy's
-          dst<-src `(2, 1)`)."""
+          dst<-src `(2, 1)`).
+
+        Fully VECTORIZED (round-4 verdict #6): the semantics table is a
+        tiny per-process dict; per-call source-argument sets are encoded
+        as uint64 BITMASKS over argument indices, classified once per
+        DISTINCT call name and scattered through dictionary indices +
+        searchsorted lookups — no Python loop over reached calls or
+        arguments at any frontier level."""
         meta = _node_meta(
             nodes_ds_factory(), level_nodes, ("id", "label", "name", "argument_index")
         )
         if meta is None or meta.num_rows == 0:
             return np.empty(0, np.uint64)
+        sem_table = active_semantics()
         out: list[np.ndarray] = []
         # RETURN passthrough
         rets = (
@@ -413,46 +451,64 @@ def reachable_by_interproc(
         if rets.size:
             _s, argn = _scan_pairs(edges_ds_factory(), "ARGUMENT", "subj", rets)
             out.append(argn)
-        calls = meta.filter(pc.equal(meta.column("label"), "CALL"))
-        per_call_srcs: dict[int, set] = {}
-        blanket: list[int] = []
-        for cid, nm in zip(
-            calls.column("id").to_pylist(), calls.column("name").to_pylist()
-        ):
-            sem = active_semantics().get(nm or "")
+
+        # BLANKET = all-arguments passthrough; bitmask bit i = source arg i
+        _BLANKET = np.int64(-1)
+        _SKIP = np.int64(-2)
+
+        def _ret_mask(nm: str) -> np.int64:
+            sem = sem_table.get(nm or "")
             if sem == "PT":
-                blanket.append(cid)
-            elif sem is not None:
-                srcs = {s for s, d in sem if d == -1}
-                if srcs:
-                    per_call_srcs[cid] = srcs
-            elif (nm or "").startswith("<operator>."):
-                blanket.append(cid)  # unlisted operator: passthrough
-        probe = list(per_call_srcs) + blanket
-        if probe:
-            cids, argn = _scan_pairs(edges_ds_factory(), "ARGUMENT", "subj", probe)
-            if argn.size:
-                ameta = _node_meta(
-                    nodes_ds_factory(), np.unique(argn), ("id", "argument_index")
+                return _BLANKET
+            if sem is not None:
+                m = 0
+                for s_, d_ in sem:
+                    if d_ == -1 and 0 <= s_ < 63:
+                        m |= 1 << s_
+                return np.int64(m) if m else _SKIP
+            if (nm or "").startswith("<operator>."):
+                return _BLANKET
+            return _SKIP
+
+        calls = meta.filter(pc.equal(meta.column("label"), "CALL"))
+        if calls.num_rows:
+            d = pc.dictionary_encode(calls.column("name").combine_chunks())
+            uniq_masks = np.array(
+                [_ret_mask(u) for u in d.dictionary.to_pylist()], dtype=np.int64
+            )
+            call_cls = uniq_masks[
+                d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            ]
+            call_ids = (
+                calls.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            probe_m = call_cls != _SKIP
+            if probe_m.any():
+                probe_ids = call_ids[probe_m]
+                probe_cls = call_cls[probe_m]
+                cids, argn = _scan_pairs(
+                    edges_ds_factory(), "ARGUMENT", "subj", probe_ids
                 )
-                aidx = (
-                    dict(
-                        zip(
-                            ameta.column("id").to_pylist(),
-                            ameta.column("argument_index").to_pylist(),
-                        )
+                if argn.size:
+                    ameta = _node_meta(
+                        nodes_ds_factory(), np.unique(argn), ("id", "argument_index")
                     )
-                    if ameta is not None
-                    else {}
-                )
-                blank = set(blanket)
-                keep = [
-                    a
-                    for c, a in zip(cids.tolist(), argn.tolist())
-                    if c in blank or aidx.get(a) in per_call_srcs.get(c, ())
-                ]
-                if keep:
-                    out.append(np.array(keep, dtype=np.uint64))
+                    if ameta is not None and ameta.num_rows:
+                        am_ids, am_idx = _meta_idx_arrays(ameta, "argument_index")
+                        aidx = _np_lookup(am_ids, am_idx, argn, -1)
+                        cls_of = _np_lookup(
+                            probe_ids, probe_cls, cids, int(_SKIP)
+                        )
+                        in_range = (aidx >= 0) & (aidx < 63)
+                        shift = np.where(in_range, aidx, 0).astype(np.uint64)
+                        masked = (
+                            (cls_of.astype(np.int64) >= 0)
+                            & in_range
+                            & (((cls_of.astype(np.uint64) >> shift) & 1) == 1)
+                        )
+                        keep = (cls_of == _BLANKET) | masked
+                        if keep.any():
+                            out.append(argn[keep])
         # reached ARGUMENTs of semantics calls: arg<-arg mappings
         args_r = meta.filter(
             pc.and_(
@@ -463,64 +519,88 @@ def reachable_by_interproc(
             )
         )
         if args_r.num_rows:
-            a_ids = args_r.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            a_ids, a_k = _meta_idx_arrays(args_r, "argument_index")
             pc_ids, pa_ids = _scan_pairs(
                 edges_ds_factory(), "ARGUMENT", "obj", a_ids
             )
             if pc_ids.size:
                 pmeta = _node_meta(nodes_ds_factory(), np.unique(pc_ids), ("id", "name"))
-                pname = (
-                    dict(
-                        zip(
-                            pmeta.column("id").to_pylist(),
-                            pmeta.column("name").to_pylist(),
+                if pmeta is not None and pmeta.num_rows:
+                    # parent-call name class: index into the unique-name list
+                    pd = pc.dictionary_encode(pmeta.column("name").combine_chunks())
+                    p_names = pd.dictionary.to_pylist()
+                    pm_ids = (
+                        pmeta.column("id")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.uint64)
+                    )
+                    pm_cls = pd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                    cls_of_c = _np_lookup(pm_ids, pm_cls, pc_ids, -1)
+                    k_of_a = _np_lookup(a_ids, a_k, pa_ids, -1)
+                    ok = (cls_of_c >= 0) & (k_of_a > 0) & (k_of_a < 63)
+                    if ok.any():
+                        # bitmask of sibling sources per (name class, k):
+                        # loop over UNIQUE pairs only (tiny)
+                        pair = cls_of_c[ok] * np.int64(64) + k_of_a[ok]
+                        upair, inv = np.unique(pair, return_inverse=True)
+
+                        def _sib_mask(p: int) -> int:
+                            nm = p_names[p // 64] or ""
+                            k = p % 64
+                            sem = sem_table.get(nm)
+                            if sem is None or sem == "PT":
+                                return 0
+                            m = 0
+                            for s_, d_ in sem:
+                                if d_ == k and s_ != k and 0 <= s_ < 63:
+                                    m |= 1 << s_
+                            return m
+
+                        pair_masks = np.array(
+                            [_sib_mask(int(p)) for p in upair], dtype=np.int64
                         )
-                    )
-                    if pmeta is not None
-                    else {}
-                )
-                ridx = dict(
-                    zip(
-                        args_r.column("id").to_pylist(),
-                        args_r.column("argument_index").to_pylist(),
-                    )
-                )
-                want: dict[int, set] = {}
-                for c, a in zip(pc_ids.tolist(), pa_ids.tolist()):
-                    sem = active_semantics().get(pname.get(c) or "")
-                    if sem is None or sem == "PT":
-                        continue
-                    k = ridx.get(a)
-                    if k is None:
-                        continue
-                    srcs = {s for s, d in sem if d == k and s != k}
-                    if srcs:
-                        want.setdefault(c, set()).update(srcs)
-                if want:
-                    c2, a2 = _scan_pairs(
-                        edges_ds_factory(), "ARGUMENT", "subj", list(want)
-                    )
-                    if a2.size:
-                        ameta2 = _node_meta(
-                            nodes_ds_factory(), np.unique(a2), ("id", "argument_index")
-                        )
-                        aidx2 = (
-                            dict(
-                                zip(
-                                    ameta2.column("id").to_pylist(),
-                                    ameta2.column("argument_index").to_pylist(),
-                                )
+                        row_masks = pair_masks[inv]
+                        c_rows = pc_ids[ok]
+                        pos = row_masks > 0
+                        if pos.any():
+                            # OR-aggregate want-masks per parent call
+                            c_sel = c_rows[pos]
+                            m_sel = row_masks[pos]
+                            order = np.argsort(c_sel, kind="stable")
+                            c_sorted = c_sel[order]
+                            m_sorted = m_sel[order]
+                            starts = np.concatenate(
+                                ([0], np.nonzero(c_sorted[1:] != c_sorted[:-1])[0] + 1)
                             )
-                            if ameta2 is not None
-                            else {}
-                        )
-                        keep2 = [
-                            a
-                            for c, a in zip(c2.tolist(), a2.tolist())
-                            if aidx2.get(a) in want.get(c, ())
-                        ]
-                        if keep2:
-                            out.append(np.array(keep2, dtype=np.uint64))
+                            want_calls = c_sorted[starts]
+                            want_masks = np.bitwise_or.reduceat(m_sorted, starts)
+                            c2, a2 = _scan_pairs(
+                                edges_ds_factory(), "ARGUMENT", "subj", want_calls
+                            )
+                            if a2.size:
+                                ameta2 = _node_meta(
+                                    nodes_ds_factory(),
+                                    np.unique(a2),
+                                    ("id", "argument_index"),
+                                )
+                                if ameta2 is not None and ameta2.num_rows:
+                                    am2_ids, am2_idx = _meta_idx_arrays(
+                                        ameta2, "argument_index"
+                                    )
+                                    aidx2 = _np_lookup(am2_ids, am2_idx, a2, -1)
+                                    mask2 = _np_lookup(want_calls, want_masks, c2, 0)
+                                    in_r2 = (aidx2 >= 0) & (aidx2 < 63)
+                                    sh2 = np.where(in_r2, aidx2, 0).astype(np.uint64)
+                                    keep2 = (
+                                        in_r2
+                                        & (mask2 > 0)
+                                        & (
+                                            ((mask2.astype(np.uint64) >> sh2) & 1)
+                                            == 1
+                                        )
+                                    )
+                                    if keep2.any():
+                                        out.append(a2[keep2])
         return np.concatenate(out) if out else np.empty(0, np.uint64)
 
     _operator_args = _semantic_expand

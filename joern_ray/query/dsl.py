@@ -74,14 +74,30 @@ class NodeSteps:
 
     def _expand(self, preds: tuple[str, ...], direction: str) -> "NodeSteps":
         """One hop along `preds`; direction 'out' follows subj->obj,
-        'in' follows obj->subj.  Broadcast-id-set filter over edges,
-        then an id-set filter over nodes (two streamed scans)."""
-        ids = self._ids()
-        if not ids:
-            return NodeSteps(self.cpg, self.ds)
-        ids_arr = pa.array(list(ids), pa.uint64())
+        'in' follows obj->subj.  Two regimes (round-4 verdict #7, the
+        dataflow-frontier pattern at graph/dataflow.py `_hop`):
+
+        - at/below `JOERN_RAY_DSL_GATE` ids: broadcast-id-set filter over
+          edges, then an id-set filter over nodes (two streamed scans —
+          strictly faster, no shuffle);
+        - above the gate: distributed `bucketed_join` hop + join-side
+          node pick, so `cpg.call().argument()`-style wide hops never
+          materialize O(all nodes) ids in driver memory."""
+        import os as _os
+
+        src_ds = self.ds.materialize()
+        n = src_ds.count()
+        if n == 0:
+            return NodeSteps(self.cpg, src_ds)
         src_col, dst_col = ("subj", "obj") if direction == "out" else ("obj", "subj")
         preds_arr = pa.array(list(preds), pa.string())
+        gate = int(_os.environ.get("JOERN_RAY_DSL_GATE", 2_000_000))
+        if n > gate:
+            return self._expand_join(src_ds, preds_arr, src_col, dst_col)
+        ids: set[int] = set()
+        for b in src_ds.iter_batches(batch_format="pyarrow"):
+            ids.update(b.column("id").to_pylist())
+        ids_arr = pa.array(list(ids), pa.uint64())
 
         # plain TASKS: the id set rides the (once-exported) closure; no
         # actor pool spin-up per hop
@@ -102,6 +118,71 @@ class NodeSteps:
             return batch.filter(pc.is_in(batch.column("id"), value_set=tarr))
 
         picked = self.cpg.nodes_ds().map_batches(node_pick, batch_format="pyarrow")
+        return NodeSteps(self.cpg, picked)
+
+    def _expand_join(self, src_ds, preds_arr, src_col: str, dst_col: str) -> "NodeSteps":
+        """Join-regime hop: source ids ⋈ pred-filtered edges ⋈ nodes —
+        every step distributed, driver holds nothing of O(ids)."""
+        from ..util import bucketed_join
+
+        def edge_sel(b: pa.Table) -> pa.Table:
+            f = b.filter(pc.is_in(b.column("pred"), value_set=preds_arr))
+            return pa.table(
+                {
+                    "e_src": f.column(src_col).combine_chunks().cast(pa.uint64()),
+                    "e_dst": f.column(dst_col).combine_chunks().cast(pa.uint64()),
+                }
+            )
+
+        def id_sel(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"fid": pc.unique(b.column("id").combine_chunks().cast(pa.uint64()))}
+            )
+
+        hop = bucketed_join(
+            self.cpg.edges_ds().map_batches(edge_sel, batch_format="pyarrow"),
+            [("e_src", pa.uint64()), ("e_dst", pa.uint64())],
+            src_ds.map_batches(id_sel, batch_format="pyarrow"),
+            [("fid", pa.uint64())],
+            on=["e_src"],
+            right_on=["fid"],
+        )
+
+        # distributed distinct of the target ids (duplicate edges to one
+        # node collapse inside one bucket group)
+        def tag(b: pa.Table) -> pa.Table:
+            t = pc.unique(b.column("e_dst").combine_chunks())
+            import numpy as np
+
+            bkt = (
+                t.to_numpy(zero_copy_only=False).astype(np.uint64)
+                % np.uint64(32)
+            ).astype(np.int64)
+            return pa.table({"tid": t, "bkt": pa.array(bkt, pa.int64())})
+
+        def uniq_group(g: pa.Table) -> pa.Table:
+            return pa.table({"tid": pc.unique(g.column("tid").combine_chunks())})
+
+        tids = (
+            hop.map_batches(tag, batch_format="pyarrow")
+            .groupby("bkt")
+            .map_groups(uniq_group, batch_format="pyarrow")
+        )
+        from ..schemas import NODES_SCHEMA
+
+        lcols = [
+            (f.name, f.type)
+            for f in NODES_SCHEMA
+            if f.name != "dynamic_type_hint_full_name"
+        ]
+        picked = bucketed_join(
+            self.cpg.nodes_ds(),
+            lcols,
+            tids,
+            [("tid", pa.uint64())],
+            on=["id"],
+            right_on=["tid"],
+        )
         return NodeSteps(self.cpg, picked)
 
     # AST navigation (reference AstNodeTraversal)
@@ -329,61 +410,69 @@ class NodeSteps:
         if not own:
             return NodeSteps(self.cpg, self.ds)
         larr = pa.array(list(labels), pa.string())
+
+        # ONE nodes scan total (ADVICE r4: the old version paid a full
+        # nodes scan PER HOP): collect the anchor set — every node
+        # matching labels (+code regex) — up front; per hop the check is
+        # a driver set intersection.
+        def pick(batch: pa.Table) -> pa.Table:
+            m = pc.is_in(batch.column("label"), value_set=larr)
+            if code_regex is not None:
+                m = pc.and_(m, _full_match(batch.column("code"), code_regex))
+            return pa.table({"id": batch.filter(m).column("id")})
+
+        anchors: set[int] = set()
+        for b in (
+            self.cpg.nodes_ds()
+            .map_batches(pick, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            anchors.update(b.column("id").to_pylist())
         matched: set[int] = set()
-        # frontier: current ancestor id -> set of original ids it covers
-        frontier: dict[int, set] = {i: {i} for i in own}
-        for _ in range(max_depth):
-            pairs = []
-            farr = pa.array(list(frontier), pa.uint64())
+        if anchors:
+            # frontier: current ancestor id -> set of original ids it
+            # covers.  AST parents are unique, so the frontier never
+            # grows; matched owners are pruned so it shrinks fast (the
+            # AST depth to METHOD is small in practice).
+            frontier: dict[int, set] = {i: {i} for i in own}
+            for _ in range(max_depth):
+                if not frontier:
+                    break
+                pairs = []
+                farr = pa.array(list(frontier), pa.uint64())
 
-            def up(batch: pa.Table) -> pa.Table:
-                m = pc.and_(
-                    pc.equal(batch.column("pred"), "AST"),
-                    pc.is_in(batch.column("obj"), value_set=farr),
-                )
-                f = batch.filter(m)
-                return pa.table({"subj": f.column("subj"), "obj": f.column("obj")})
+                def up(batch: pa.Table) -> pa.Table:
+                    m = pc.and_(
+                        pc.equal(batch.column("pred"), "AST"),
+                        pc.is_in(batch.column("obj"), value_set=farr),
+                    )
+                    f = batch.filter(m)
+                    return pa.table({"subj": f.column("subj"), "obj": f.column("obj")})
 
-            for b in (
-                self.cpg.edges_ds()
-                .map_batches(up, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow")
-            ):
-                pairs.extend(
-                    zip(b.column("subj").to_pylist(), b.column("obj").to_pylist())
-                )
-            if not pairs:
-                break
-            parent_ids = {s for s, _o in pairs}
-            parr = pa.array(list(parent_ids), pa.uint64())
-
-            def pick(batch: pa.Table) -> pa.Table:
-                m = pc.and_(
-                    pc.is_in(batch.column("id"), value_set=parr),
-                    pc.is_in(batch.column("label"), value_set=larr),
-                )
-                if code_regex is not None:
-                    m = pc.and_(m, _full_match(batch.column("code"), code_regex))
-                return pa.table({"id": batch.filter(m).column("id")})
-
-            hits: set[int] = set()
-            for b in (
-                self.cpg.nodes_ds()
-                .map_batches(pick, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow")
-            ):
-                hits.update(b.column("id").to_pylist())
-            nxt: dict[int, set] = {}
-            for s, o in pairs:
-                owners = frontier.get(o, set())
-                if not owners:
-                    continue
-                nxt.setdefault(s, set()).update(owners)
-                if s in hits:
-                    matched.update(owners)
-            frontier = nxt
-            if matched >= own:
-                break
+                for b in (
+                    self.cpg.edges_ds()
+                    .map_batches(up, batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow")
+                ):
+                    pairs.extend(
+                        zip(b.column("subj").to_pylist(), b.column("obj").to_pylist())
+                    )
+                if not pairs:
+                    break
+                nxt: dict[int, set] = {}
+                for s, o in pairs:
+                    owners = frontier.get(o)
+                    if not owners:
+                        continue
+                    if s in anchors:
+                        matched.update(owners)
+                        continue  # matched owners need no further walking
+                    live = owners - matched
+                    if live:
+                        nxt.setdefault(s, set()).update(live)
+                frontier = nxt
+                if matched >= own:
+                    break
         arr = pa.array(list(matched) or [0], pa.uint64())
         return self._filter(
             lambda b: b.filter(pc.is_in(b.column("id"), value_set=arr))
@@ -499,9 +588,15 @@ class Cpg:
         from ..schemas import NODES_SCHEMA
 
         # fixed projection: the node table may span multiple physical
-        # roots with differing extra columns (parse/canonical/dims)
+        # roots with differing extra columns (parse/canonical/dims).
+        # `dynamic_type_hint_full_name` (list<string>) is excluded: no
+        # DSL step consumes it and Acero hash joins (the `_expand` join
+        # regime) reject list-typed payload columns.
         return ray.data.read_parquet(
-            self.nodes_path, columns=list(NODES_SCHEMA.names)
+            self.nodes_path,
+            columns=[
+                n for n in NODES_SCHEMA.names if n != "dynamic_type_hint_full_name"
+            ],
         )
 
     def edges_ds(self):

@@ -144,3 +144,26 @@ def test_is_call_to_and_contains_call_to(cpg):
     # main contains a gets() call, helper does not
     hits = cpg.method(".*").contains_call_to("gets").l(["name"])
     assert set(hits.column("name").to_pylist()) == {"main"}
+
+
+def test_expand_join_regime_parity(cpg, monkeypatch):
+    """Round-4 verdict #7: above JOERN_RAY_DSL_GATE, _expand hops via a
+    distributed bucketed join instead of a driver id-set broadcast.
+    Planted wide hop (gate=0 forces the join regime) must produce
+    identical node sets to the broadcast regime."""
+
+    def ids_of(step):
+        t = step.l(["id", "label", "name"])
+        return sorted(t.column("id").to_pylist())
+
+    cases = [
+        lambda: cpg.call().argument(),          # the wide-hop shape
+        lambda: cpg.method().ast_children(),
+        lambda: cpg.method("^gets$").call_in(),
+    ]
+    broadcast = [ids_of(c()) for c in cases]
+    monkeypatch.setenv("JOERN_RAY_DSL_GATE", "0")
+    joined = [ids_of(c()) for c in cases]
+    monkeypatch.delenv("JOERN_RAY_DSL_GATE")
+    assert broadcast == joined
+    assert all(b for b in broadcast), "planted hops must be non-empty"
