@@ -782,13 +782,23 @@ def media_feature_stats(sf_dir: str) -> pa.Table:
     extraction (stubbed codec) -> per-type stats."""
     import ray.data
 
-    from ..stages.multimodal import media_features, synth_media_table
+    from ..stages.multimodal import (
+        decoder_availability,
+        media_features,
+        synth_media_table,
+    )
 
     n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(
         os.path.basename(os.path.normpath(sf_dir)), 64
     )
+    # decoder="auto": real codecs when importable, deterministic fake
+    # otherwise; the probe record lands in the result so the driver sees
+    # WHICH decoder ran and why (round-4 verdict #10)
+    avail = decoder_availability()
+    which = "real" if avail["available"] else "fake"
+    probe = "; ".join(f"{k}={v}" for k, v in sorted(avail.items()) if k != "available")
     ds = ray.data.from_arrow(synth_media_table(n))
-    out = media_features(ds, decoder="fake", batch_size=32, concurrency=None)
+    out = media_features(ds, decoder="auto", batch_size=32, concurrency=None)
     t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
     import collections
 
@@ -799,6 +809,8 @@ def media_feature_stats(sf_dir: str) -> pa.Table:
             "media_type": pa.array([k for k, _ in rows], pa.string()),
             "n": pa.array([v for _, v in rows], pa.int64()),
             "feature_dim": pa.array([len(t.column("features")[0])] * len(rows), pa.int64()),
+            "decoder": pa.array([which] * len(rows), pa.string()),
+            "decoder_probe": pa.array([probe] * len(rows), pa.string()),
         }
     )
 

@@ -324,3 +324,20 @@ def test_embedding_lsh_recall_vs_exact(ray_session):
     norm = {(min(a, b), max(a, b)) for a, b in found}
     recall = len(planted & norm) / len(planted)
     assert recall >= 0.75, (recall, sorted(planted - norm))
+
+
+def test_media_decoder_probe_recorded(ray_session):
+    """Round-4 verdict #10: media_feature_stats reports WHICH decoder ran
+    and records the attempted import result for the real codecs."""
+    from joern_ray.pipelines.queries import media_feature_stats
+    from joern_ray.stages.multimodal import decoder_availability
+
+    avail = decoder_availability()
+    t = media_feature_stats("/root/testdata/sf0.001")
+    assert t.num_rows >= 1
+    which = set(t.column("decoder").to_pylist())
+    assert which == ({"real"} if avail["available"] else {"fake"})
+    probe = t.column("decoder_probe")[0].as_py()
+    assert "PIL.Image=" in probe and "soundfile=" in probe
+    if not avail["available"]:
+        assert "ImportError" in probe  # the recorded attempt
