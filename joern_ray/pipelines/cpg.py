@@ -1344,14 +1344,35 @@ def build_cpg(
         # broadcast regime: collect ONLY the 3-column method index
         # projection (not full rows), ship it ONCE via ray.put — workers
         # build the fqn->id dict once per process (per-worker cache).
+        # The projection is decoded by a PARALLEL Ray read (driver only
+        # concatenates buffers) — a serial pads scan was ~2.3 s at 600k
+        # docs, and the round-5 attempt to defer the whole build to
+        # workers (path spec) thrashed: 32 processes × 32-thread scans
+        # re-decoding the same 150 files took the 600k edge phase from
+        # 98 s to 327 s.  Measured, reverted.
         if n_mt:
-            idx_t = (
-                pads.dataset(canon_path, format="parquet")
-                .to_table(
-                    columns=["label", "full_name", "id", "signature"],
-                    filter=pads.field("label") == "METHOD",
+
+            def _idx_proj(b: pa.Table) -> pa.Table:
+                m = pc.equal(b.column("label"), "METHOD")
+                return b.filter(m).select(["full_name", "id", "signature"])
+
+            idx_parts = list(
+                ray.data.read_parquet(
+                    canon_path, columns=["label", "full_name", "id", "signature"]
                 )
-                .select(["full_name", "id", "signature"])
+                .map_batches(_idx_proj, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+            )
+            idx_t = (
+                pa.concat_tables(idx_parts)
+                if idx_parts
+                else pa.table(
+                    {
+                        "full_name": pa.array([], pa.string()),
+                        "id": pa.array([], pa.uint64()),
+                        "signature": pa.array([], pa.string()),
+                    }
+                )
             )
             # canonical names are unique; sort for deterministic layout
             index_table = idx_t.take(

@@ -333,11 +333,36 @@ def _f19_kotlin(r: random.Random) -> str:
     )
 
 
-# (template fn, lang, weight) — language mix: C ~29 %, JS ~16 %, Java
+def _f20_rust(r: random.Random) -> str:
+    """Rust struct + impl methods + Type::new typing (rust2cpg-analog)."""
+    k = r.randint(0, 99)
+    v = r.randint(1, 9)
+    return (
+        f"struct Meter{k} {{\n    count: i64,\n}}\n"
+        f"impl Meter{k} {{\n"
+        f"    fn new() -> Meter{k} {{\n"
+        f"        return Meter{k} {{ count: {v} }};\n"
+        "    }\n"
+        "    fn bump(&self, n: i64) -> i64 {\n"
+        "        return self.count + n;\n"
+        "    }\n"
+        "}\n"
+        f"fn observe{r.randint(0, 199)}(n: i64) -> i64 {{\n"
+        f"    let m = Meter{k}::new();\n"
+        "    let mut total = 0;\n"
+        "    for i in items {\n"
+        "        total = total + i;\n"
+        "    }\n"
+        "    return m.bump(total);\n"
+        "}\n"
+    )
+
+
+# (template fn, lang, weight) — language mix: C ~28 %, JS ~15 %, Java
 # ~11 %, Python ~13 % (round 2: pysrc2cpg-analog frontend; round 3:
-# type-hint client template), C++ ~7 %, Ruby ~5 %, Go ~3 %, plus the
-# round-5 frontends C# ~4 %, PHP ~3 %, Kotlin ~3 % (corpus v5: every
-# shipped frontend appears in method_lang_counts).
+# type-hint client template), C++ ~6 %, Ruby ~5 %, Go ~3 %, plus the
+# round-5 frontends C# ~4 %, PHP ~3 %, Kotlin ~3 %, Rust ~3 %
+# (corpus v5: every shipped frontend appears in method_lang_counts).
 _TEMPLATES: list[tuple] = [
     (_f1_c_call, "c", 8),
     (_f2_c_def, "c", 4),
@@ -359,6 +384,7 @@ _TEMPLATES: list[tuple] = [
     (_f17_csharp, "csharp", 6),
     (_f18_php, "php", 5),
     (_f19_kotlin, "kotlin", 4),
+    (_f20_rust, "rust", 5),
 ]
 _TEMPLATE_POP = [t for t in _TEMPLATES for _ in range(t[2])]
 

@@ -139,6 +139,8 @@ _LANG_ALIASES = {
     "csharp": "csharp",
     "cs": "csharp",
     "c#": "csharp",
+    "rust": "rust",
+    "rs": "rust",
 }
 
 
@@ -158,6 +160,7 @@ _CONTENT_MARKERS: list[tuple[str, "re.Pattern"]] = [
     ("csharp", re.compile(r"\busing\s+System\b|\bnamespace\s+\w+|\bConsole\.Write")),
     ("java", re.compile(r"\bpublic\s+(static\s+)?(class|void|int)\b|\bSystem\.out\b")),
     ("go", re.compile(r"^package\s+\w+|\bfunc\s+\w+\s*\(", re.M)),
+    ("rust", re.compile(r"\bfn\s+\w+\s*\(|\blet\s+mut\b|\bimpl\s+\w+|::<?\w+")),
     ("ruby", re.compile(r"\bdef\s+\w+.*\n(.|\n)*?\bend\b|\battr_accessor\b")),
     ("python", re.compile(r"\bdef\s+\w+\s*\(.*\)\s*:|\bimport\s+\w+$|\belif\b", re.M)),
     ("javascript", re.compile(r"\bfunction\s*\w*\s*\(|\bconst\s+\w+\s*=|=>")),

@@ -464,7 +464,11 @@ class CallLinker:
 
         # MEMBER dimension (Type.field -> canonical member id) for the
         # cross-fragment FieldAccessLinkerPass (reference
-        # `typerelations/FieldAccessLinkerPass.scala:18-89`)
+        # `typerelations/FieldAccessLinkerPass.scala:18-89`).
+        # NOTE (round 5, measured): deferring the index build to workers
+        # via a parquet-path spec thrashed — 32 processes × 32-thread
+        # scans re-decoding the same files took the 600k edge phase from
+        # 98 s to 327 s.  The ray.put table + per-worker dict stays.
         self.member_index: dict[str, int] = {}
         if member_ref is not None:
             mt = (
@@ -477,7 +481,7 @@ class CallLinker:
             ):
                 if fn_ and fn_ not in self.member_index:  # first-wins
                     self.member_index[fn_] = mid
-        t: pa.Table = ray.get(index_ref) if not isinstance(index_ref, pa.Table) else index_ref
+        t = ray.get(index_ref) if not isinstance(index_ref, pa.Table) else index_ref
         names = t.column("full_name").to_pylist()
         ids = t.column("id").to_pylist()
         self.index: dict[str, int] = dict(zip(names, ids))
@@ -1197,102 +1201,140 @@ def ast_link_cross_fragment(
     broadcasts) ships to workers.
 
     Returns a Dataset of EDGES_SCHEMA rows (canonical_td_id, AST, child).
+
+    ONE streaming execution (scan → side-tagged map → bucket groupby →
+    in-group hash semi-join → edge rows): the first cut (two scans +
+    bucketed_join + write = 4 executions) measured 5.1 s at sf0.1 — all
+    launch floors, the data is small.
     """
     import numpy as np
+    import polars as pl
     import ray
-
-    from ..util import bucketed_join
 
     dup_arr = pa.array(sorted(td_dup_fqns), pa.string())
     canon_ref = ray.put(canon_td_ids)
+    num_buckets = int(num_buckets)
 
-    _EMPTY_CHILDREN = pa.table(
-        {
-            "c_url": pa.array([], pa.string()),
-            "c_frag": pa.array([], pa.int32()),
-            "c_parent": pa.array([], pa.string()),
-            "c_id": pa.array([], pa.uint64()),
-        }
-    )
-
-    def _children(b: pa.Table) -> pa.Table:
-        lab = b.column("label")
-        m = pc.is_in(lab, value_set=pa.array(["METHOD", "MEMBER", "TYPE_DECL"]))
-        b = b.filter(m)
-        if b.num_rows == 0:
-            return _EMPTY_CHILDREN
-        fn = pc.coalesce(b.column("full_name"), pa.scalar("")).combine_chunks()
-        nm = pc.coalesce(b.column("name"), pa.scalar("")).combine_chunks()
-        # strip a canonicalization rename suffix, then derive the parent
-        # from the `<parent>.<name>` convention (vectorized regex —
-        # non-dotted names extract null and drop out in the filter)
-        base = pc.replace_substring_regex(fn, r"<duplicate>\d+$", "")
-        ex = pc.extract_regex(base, r"^(?P<par>.+)\.(?P<last>[^.]+)$")
-        par = pc.struct_field(ex, 0)
-        last = pc.struct_field(ex, 1)
-        keep = pc.and_(pc.equal(last, nm), pc.is_in(par, value_set=dup_arr))
-        kept = b.append_column("c_parent", par).filter(keep)
-        if kept.num_rows == 0:
-            return _EMPTY_CHILDREN
-        return pa.table(
-            {
-                "c_url": kept.column("url").combine_chunks().cast(pa.string()),
-                "c_frag": kept.column("fragment_idx").combine_chunks().cast(pa.int32()),
-                "c_parent": kept.column("c_parent").combine_chunks().cast(pa.string()),
-                "c_id": kept.column("id").combine_chunks().cast(pa.uint64()),
-            }
-        )
-
-    def _dups(b: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.equal(b.column("label"), "TYPE_DECL"),
-            pc.match_substring(
-                pc.coalesce(b.column("full_name"), pa.scalar("")), "<duplicate>"
-            ),
-        )
-        b = b.filter(m)
-        base = pc.replace_substring_regex(
-            pc.coalesce(b.column("full_name"), pa.scalar("")).combine_chunks(),
-            r"<duplicate>\d+$",
-            "",
-        )
-        return pa.table(
-            {
-                "d_url": b.column("url").combine_chunks().cast(pa.string()),
-                "d_frag": b.column("fragment_idx").combine_chunks().cast(pa.int32()),
-                "d_parent": base.cast(pa.string()) if isinstance(base, pa.ChunkedArray) else base,
-            }
-        )
-
-    children = canon_ds_factory().map_batches(_children, batch_format="pyarrow")
-    dups = canon_ds_factory().map_batches(_dups, batch_format="pyarrow")
-    joined = bucketed_join(
-        children,
+    _UNION = pa.schema(
         [
-            ("c_url", pa.string()),
-            ("c_frag", pa.int32()),
-            ("c_parent", pa.string()),
-            ("c_id", pa.uint64()),
-        ],
-        dups,
-        [("d_url", pa.string()), ("d_frag", pa.int32()), ("d_parent", pa.string())],
-        on=["c_url", "c_frag", "c_parent"],
-        right_on=["d_url", "d_frag", "d_parent"],
-        how="inner",
-        num_buckets=num_buckets,
+            pa.field("side", pa.int8()),  # 0 = child row, 1 = dup-td row
+            pa.field("key", pa.uint64()),  # hash(url, frag, parent)
+            pa.field("c_parent", pa.string()),
+            pa.field("c_id", pa.uint64()),
+            pa.field("bkt", pa.int64()),
+        ]
     )
 
-    def _edges(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
+    def _key(url_a: pa.Array, frag_a: pa.Array, par_a: pa.Array) -> np.ndarray:
+        h = None
+        for col in (url_a, par_a):
+            kh = pl.from_arrow(col).hash(seed=11).to_numpy()
+            h = kh if h is None else (h * np.uint64(0x9E3779B97F4A7C15)) ^ kh
+        fr = frag_a.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (h * np.uint64(0x9E3779B97F4A7C15)) ^ fr
+
+    def _tag(b: pa.Table) -> pa.Table:
+        lab = b.column("label")
+        parts: list[pa.Table] = []
+        # children: METHOD/MEMBER/TYPE_DECL whose derived parent is a
+        # duplicated class name (strip a canonicalization rename suffix,
+        # then the `<parent>.<name>` convention; vectorized regex —
+        # non-dotted names extract null and drop out in the filter)
+        cb = b.filter(
+            pc.is_in(lab, value_set=pa.array(["METHOD", "MEMBER", "TYPE_DECL"]))
+        )
+        if cb.num_rows:
+            fn = pc.coalesce(cb.column("full_name"), pa.scalar("")).combine_chunks()
+            nm = pc.coalesce(cb.column("name"), pa.scalar("")).combine_chunks()
+            base = pc.replace_substring_regex(fn, r"<duplicate>\d+$", "")
+            ex = pc.extract_regex(base, r"^(?P<par>.+)\.(?P<last>[^.]+)$")
+            par = pc.struct_field(ex, 0)
+            last = pc.struct_field(ex, 1)
+            keep = pc.and_(pc.equal(last, nm), pc.is_in(par, value_set=dup_arr))
+            kept = cb.append_column("c_parent", par).filter(keep)
+            if kept.num_rows:
+                key = _key(
+                    kept.column("url").combine_chunks().cast(pa.string()),
+                    kept.column("fragment_idx").combine_chunks().cast(pa.int64()),
+                    kept.column("c_parent").combine_chunks().cast(pa.string()),
+                )
+                parts.append(
+                    pa.table(
+                        {
+                            "side": pa.array(np.zeros(kept.num_rows, np.int8), pa.int8()),
+                            "key": pa.array(key, pa.uint64()),
+                            "c_parent": kept.column("c_parent").combine_chunks().cast(pa.string()),
+                            "c_id": kept.column("id").combine_chunks().cast(pa.uint64()),
+                            "bkt": pa.array(
+                                (key % np.uint64(num_buckets)).astype(np.int64),
+                                pa.int64(),
+                            ),
+                        },
+                        schema=_UNION,
+                    )
+                )
+        # dup-td marker rows: renamed TYPE_DECLs, keyed by (url, frag,
+        # base name)
+        db = b.filter(
+            pc.and_(
+                pc.equal(lab, "TYPE_DECL"),
+                pc.match_substring(
+                    pc.coalesce(b.column("full_name"), pa.scalar("")), "<duplicate>"
+                ),
+            )
+        )
+        if db.num_rows:
+            dbase = pc.replace_substring_regex(
+                pc.coalesce(db.column("full_name"), pa.scalar("")).combine_chunks(),
+                r"<duplicate>\d+$",
+                "",
+            )
+            dbase = dbase.combine_chunks() if isinstance(dbase, pa.ChunkedArray) else dbase
+            dkey = _key(
+                db.column("url").combine_chunks().cast(pa.string()),
+                db.column("fragment_idx").combine_chunks().cast(pa.int64()),
+                dbase.cast(pa.string()),
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "side": pa.array(np.ones(db.num_rows, np.int8), pa.int8()),
+                        "key": pa.array(dkey, pa.uint64()),
+                        "c_parent": dbase.cast(pa.string()),
+                        "c_id": pa.nulls(db.num_rows, pa.uint64()),
+                        "bkt": pa.array(
+                            (dkey % np.uint64(num_buckets)).astype(np.int64),
+                            pa.int64(),
+                        ),
+                    },
+                    schema=_UNION,
+                )
+            )
+        if not parts:
+            return _UNION.empty_table()
+        return pa.concat_tables(parts)
+
+    def _join_emit(g: pa.Table) -> pa.Table:
+        dmask = pc.equal(g.column("side"), 1)
+        dup_keys = pc.unique(g.filter(dmask).column("key").combine_chunks())
+        if len(dup_keys) == 0:
+            return EDGES_SCHEMA.empty_table()
+        ch = g.filter(pc.invert(dmask))
+        ch = ch.filter(pc.is_in(ch.column("key"), value_set=dup_keys))
+        if ch.num_rows == 0:
             return EDGES_SCHEMA.empty_table()
         cm = _KEYSET_CACHE_AL.get(canon_ref.hex())
         if cm is None:
             cm = ray.get(canon_ref)
             _KEYSET_CACHE_AL[canon_ref.hex()] = cm
-        parents = b.column("c_parent").to_pylist()
-        subj = np.array([cm.get(p_, 0) for p_ in parents], dtype=np.uint64)
+        # scatter the canonical ids per DISTINCT parent name
+        d = pc.dictionary_encode(ch.column("c_parent").combine_chunks())
+        uniq_ids = np.array(
+            [cm.get(u, 0) for u in d.dictionary.to_pylist()], dtype=np.uint64
+        )
+        subj = uniq_ids[d.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
         ok = subj != 0
-        obj = b.column("c_id").combine_chunks().to_numpy(zero_copy_only=False)[ok]
+        obj = ch.column("c_id").combine_chunks().to_numpy(zero_copy_only=False)[ok]
         n = int(ok.sum())
         return pa.table(
             {
@@ -1304,7 +1346,12 @@ def ast_link_cross_fragment(
             schema=EDGES_SCHEMA,
         )
 
-    return joined.map_batches(_edges, batch_format="pyarrow")
+    return (
+        canon_ds_factory()
+        .map_batches(_tag, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(_join_emit, batch_format="pyarrow")
+    )
 
 
 _KEYSET_CACHE_AL: dict = {}
