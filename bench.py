@@ -43,7 +43,7 @@ def _corpus_path(n: int) -> str:
     from joern_ray.sources.corpus import docs_dataset
 
     path = os.path.join(BENCH_OUT, f"corpus_{n}")
-    marker = os.path.join(path, "_done_v8")
+    marker = os.path.join(path, "_done_v9")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
         docs_dataset(n, parallelism=max(8, n // 256)).write_parquet(path)

@@ -196,11 +196,17 @@ def build_cpg(
     n_salts: int = 16,
     num_partitions: int = 32,
     force_shuffle_link: bool = False,
+    compdb_json: str | None = None,
 ) -> dict:
     """Run the full pipeline; returns paths + row counts.
 
     `docs_factory(columns)` must return a fresh docs Dataset (optionally
-    column-pruned); it is consumed exactly once (by the parse stage)."""
+    column-pruned); it is consumed exactly once (by the parse stage).
+
+    `compdb_json`: compile_commands.json content — when given, C-family
+    fragments are restricted to the database's file set and parsed with
+    its per-file `-D` defines (reference JSONCompilationDatabaseParser,
+    `c2cpg/.../parser/JSONCompilationDatabaseParser.scala:34-111`)."""
     import sys
     import time
 
@@ -224,6 +230,14 @@ def build_cpg(
 
     user_fingerprint = fingerprint
     fingerprint = f"{fingerprint}+p{parser_fingerprint()}"
+    compdb = None
+    if compdb_json is not None:
+        from ..sources.compdb import parse_compilation_database
+        from ..stages.extract import hash64_bytes
+
+        compdb = parse_compilation_database(compdb_json)
+        # the database shapes parse output -> it is lineage
+        fingerprint += f"+cdb{hash64_bytes(compdb_json.encode()) & 0xFFFFFFFF:08x}"
     parse_path = os.path.join(out_dir, "parse")
     dims_path = os.path.join(out_dir, "dims")
     edges_path = os.path.join(out_dir, "edges")
@@ -243,6 +257,15 @@ def build_cpg(
     def parse_pipeline():
         ds = docs_factory(None)
         frags = ds.map_batches(detect_fragments_batch, batch_format="pyarrow")
+        if compdb is not None:
+            import functools
+
+            from ..sources.compdb import apply_compdb_batch
+
+            frags = frags.map_batches(
+                functools.partial(apply_compdb_batch, db=compdb),
+                batch_format="pyarrow",
+            )
         return frags.map_batches(
             ParseFragments,
             batch_size=batch_size,
@@ -1486,7 +1509,7 @@ def build_cpg(
                     # overlays present in this build (reference
                     # `MetaDataPass.scala:15-39` records language+overlays)
                     "code": "base;cfg;dominators;cdg;reachingdef;contains;linking;typerel;dedup",
-                    "lang": "c;cpp;java;javascript;python;go;ruby;php;kotlin;csharp",
+                    "lang": "c;cpp;java;javascript;python;go;ruby;php;kotlin;csharp;rust;swift",
                     "order": 0,
                     "argument_index": -1,
                     "line": -1,

@@ -358,11 +358,39 @@ def _f20_rust(r: random.Random) -> str:
     )
 
 
+def _f21_swift(r: random.Random) -> str:
+    """Swift class + extension method + C() init typing
+    (swiftsrc2cpg-analog)."""
+    k = r.randint(0, 99)
+    v = r.randint(1, 9)
+    return (
+        f"class Counter{k} {{\n"
+        "    var total: Int = 0\n"
+        "    func add(n: Int) -> Int {\n"
+        f"        return self.total + n + {v}\n"
+        "    }\n"
+        "}\n"
+        f"extension Counter{k} {{\n"
+        "    func reset() -> Int {\n"
+        "        return 0\n"
+        "    }\n"
+        "}\n"
+        f"func tally{r.randint(0, 199)}(xs: Int) -> Int {{\n"
+        f"    let c = Counter{k}()\n"
+        "    guard let v = c.add(n: xs) else {\n"
+        "        return 0\n"
+        "    }\n"
+        "    return v\n"
+        "}\n"
+    )
+
+
 # (template fn, lang, weight) — language mix: C ~28 %, JS ~15 %, Java
 # ~11 %, Python ~13 % (round 2: pysrc2cpg-analog frontend; round 3:
 # type-hint client template), C++ ~6 %, Ruby ~5 %, Go ~3 %, plus the
-# round-5 frontends C# ~4 %, PHP ~3 %, Kotlin ~3 %, Rust ~3 %
-# (corpus v5: every shipped frontend appears in method_lang_counts).
+# round-5 frontends C# ~4 %, PHP ~3 %, Kotlin ~3 %, Rust ~3 %,
+# Swift ~3 % (corpus v6: every shipped frontend appears in
+# method_lang_counts).
 _TEMPLATES: list[tuple] = [
     (_f1_c_call, "c", 8),
     (_f2_c_def, "c", 4),
@@ -385,6 +413,7 @@ _TEMPLATES: list[tuple] = [
     (_f18_php, "php", 5),
     (_f19_kotlin, "kotlin", 4),
     (_f20_rust, "rust", 5),
+    (_f21_swift, "swift", 4),
 ]
 _TEMPLATE_POP = [t for t in _TEMPLATES for _ in range(t[2])]
 

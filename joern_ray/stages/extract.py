@@ -141,6 +141,7 @@ _LANG_ALIASES = {
     "c#": "csharp",
     "rust": "rust",
     "rs": "rust",
+    "swift": "swift",
 }
 
 
@@ -159,6 +160,10 @@ _CONTENT_MARKERS: list[tuple[str, "re.Pattern"]] = [
     # C#-only markers disambiguate
     ("csharp", re.compile(r"\busing\s+System\b|\bnamespace\s+\w+|\bConsole\.Write")),
     ("java", re.compile(r"\bpublic\s+(static\s+)?(class|void|int)\b|\bSystem\.out\b")),
+    # swift BEFORE go: both declare with `func`, but only Swift types
+    # params with a colon (`func f(x: Int)`); the other markers are
+    # Swift-only keywords
+    ("swift", re.compile(r"\bfunc\s+\w+\s*\([^)]*:|\bimport\s+Foundation\b|\bguard\s+let\b|\bextension\s+[A-Z]")),
     ("go", re.compile(r"^package\s+\w+|\bfunc\s+\w+\s*\(", re.M)),
     ("rust", re.compile(r"\bfn\s+\w+\s*\(|\blet\s+mut\b|\bimpl\s+\w+|::<?\w+")),
     ("ruby", re.compile(r"\bdef\s+\w+.*\n(.|\n)*?\bend\b|\battr_accessor\b")),

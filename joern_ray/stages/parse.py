@@ -187,6 +187,7 @@ class ParseFragments:
     def __init__(self, cache_size: int = 4096, with_overlays: bool = True) -> None:
         from ..parsing.csharpfrontend import CSharpFragmentParser
         from ..parsing.rustfrontend import RustFragmentParser
+        from ..parsing.swiftfrontend import SwiftFragmentParser
         from ..parsing.gofrontend import GoFragmentParser
         from ..parsing.kotlinfrontend import KotlinFragmentParser
         from ..parsing.phpfrontend import PhpFragmentParser
@@ -203,6 +204,7 @@ class ParseFragments:
         self.parsers["kotlin"] = KotlinFragmentParser()
         self.parsers["csharp"] = CSharpFragmentParser()
         self.parsers["rust"] = RustFragmentParser()
+        self.parsers["swift"] = SwiftFragmentParser()
         self.cache: OrderedDict[tuple[int, str], dict] = OrderedDict()
         self.cache_size = cache_size
         self.with_overlays = with_overlays
