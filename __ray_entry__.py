@@ -76,6 +76,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "method_lang_counts": q.method_lang_counts,
         "scan_conformance": q.scan_conformance,
         "usage_slice_stats": q.usage_slice_stats,
+        # round-5 additions
+        "tag_overlay_stats": q.tag_overlay_stats,
+        "brand_part_counts": q.brand_part_counts,
+        "supplier_balance_extremes": q.supplier_balance_extremes,
+        "lineitem_returnflag_dates": q.lineitem_returnflag_dates,
+        "order_priority_by_year": q.order_priority_by_year,
     }
 
 
@@ -181,5 +187,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents "
             "GROUP BY source ORDER BY source"
+        ),
+        "brand_part_counts": (
+            "SELECT p_brand, count(*) AS n_parts, "
+            "CAST(max(p_size) AS BIGINT) AS max_size FROM part "
+            "GROUP BY p_brand ORDER BY p_brand"
+        ),
+        "supplier_balance_extremes": (
+            "SELECT n_name AS nation, count(*) AS n_suppliers, "
+            "min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY nation"
+        ),
+        "lineitem_returnflag_dates": (
+            "SELECT l_returnflag, count(*) AS n, "
+            "strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship, "
+            "strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "order_priority_by_year": (
+            "SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority, "
+            "count(*) AS n FROM orders GROUP BY yr, o_orderpriority "
+            "ORDER BY yr, o_orderpriority"
         ),
     }

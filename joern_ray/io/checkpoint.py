@@ -143,6 +143,17 @@ def checkpoint(ds_factory, path: str, stage: str, fingerprint: str, partition_co
             ds.write_parquet(path, partition_cols=partition_cols)
         else:
             ds.write_parquet(path)
+        if not os.path.isdir(path):
+            # a 0-row Dataset writes no files at all; materialize an
+            # empty parquet carrying the schema so read-back and the
+            # manifest row count still work (overlay passes can
+            # legitimately match nothing on a given corpus)
+            import pyarrow.parquet as _pq
+
+            os.makedirs(path, exist_ok=True)
+            sch = ds.schema(fetch_if_missing=True)
+            sch = getattr(sch, "base_schema", sch)
+            _pq.write_table(sch.empty_table(), os.path.join(path, "empty.parquet"))
         write_manifest(path, stage, fingerprint, time.perf_counter() - t0)
     return ray.data.read_parquet(path)
 

@@ -69,7 +69,9 @@ def _cpg_paths(sf_dir: str) -> dict:
             ds = ds.map_batches(lambda b: b.select(columns), batch_format="pyarrow")
         return ds
 
-    return build_cpg(docs_factory, out, f"corpus-{n}-seed42-v4")
+    # the corpus generator is NOT covered by parser_fingerprint (it is
+    # input, not parse code) — bump the tag on corpus version changes
+    return build_cpg(docs_factory, out, f"corpus-{n}-seed42-v6")
 
 
 def cpg_node_counts(sf_dir: str) -> pa.Table:
@@ -655,7 +657,9 @@ def _raw_fragments_ds(sf_dir: str):
             batch_format="pyarrow",
         )
 
-    return checkpoint(factory, path, "fragments", f"corpus-{n}-seed42-v4")
+    # keep this tag in lockstep with _cpg_paths' corpus tag: the corpus
+    # generator is input, not parser code, so no fingerprint covers it
+    return checkpoint(factory, path, "fragments", f"corpus-{n}-seed42-v6")
 
 
 def _fragments_ds(sf_dir: str):
@@ -1303,3 +1307,214 @@ def usage_slice_stats(sf_dir: str) -> pa.Table:
     )
     t = _collect(out).rename_columns(["n_uses", "n_decls"])
     return t.sort_by("n_uses")
+
+
+def tag_overlay_stats(sf_dir: str) -> pa.Table:
+    """Pass-protocol witness: apply the TagMatchPass/TagEdgePass pair
+    (reference newTagNodePair, `NewTagNodePairTraversal.scala:10-18`)
+    for dangerous calls over the built CPG and count TAG nodes +
+    TAGGED_BY edges through the widened overlay roots."""
+    from ..stages.protocol import TagEdgePass, TagMatchPass, apply_passes
+
+    res = _cpg_paths(sf_dir)
+    danger_re = "^(" + "|".join(sorted(DANGEROUS)) + ")$"
+    out = apply_passes(
+        res["out_dir"],
+        [
+            TagMatchPass("dangerous", label="CALL", name_re=danger_re),
+            TagEdgePass("dangerous", label="CALL", name_re=danger_re),
+        ],
+        f"tags-v2:{danger_re}",  # param change => fingerprint change => rebuild
+    )
+    cpg = out["cpg"]
+    n_tags = cpg.all().where_label("TAG").size()
+
+    def _edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": [pc.sum(pc.equal(b.column("pred"), "TAGGED_BY").cast(pa.int64())).as_py() or 0]}
+        )
+
+    # note: the per-batch partials get COALESCED by iter_batches — sum the
+    # whole column, never index row 0
+    n_edges = sum(
+        pc.sum(b.column("n")).as_py() or 0
+        for b in cpg.edges_ds().map_batches(_edges, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    )
+    return pa.table(
+        {
+            "metric": ["n_tag_nodes", "n_tagged_by_edges"],
+            "n": pa.array([n_tags, n_edges], pa.int64()),
+        }
+    )
+
+
+def brand_part_counts(sf_dir: str) -> pa.Table:
+    """Parts per brand with the max size — single-key combiner pattern
+    (integral aggregates only, exact oracle parity)."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_size"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch)
+            .group_by("p_brand")
+            .agg(pl.len().alias("c"), pl.col("p_size").max().alias("mx"))
+            .to_arrow()
+        )
+
+    # the partial map does BOTH aggregates (count + max) in one pass;
+    # the driver-side combine is over brand-cardinality rows only
+    import polars as pl
+
+    parts = pa.concat_tables(
+        list(
+            ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    t = (
+        pl.from_arrow(parts)
+        .group_by("p_brand")
+        .agg(pl.col("c").sum().alias("n_parts"), pl.col("mx").max().alias("max_size"))
+        .sort("p_brand")
+        .to_arrow()
+    )
+    return pa.table(
+        {
+            "p_brand": t.column("p_brand").cast(pa.string()),
+            "n_parts": t.column("n_parts").cast(pa.int64()),
+            "max_size": t.column("max_size").cast(pa.int64()),
+        }
+    )
+
+
+def supplier_balance_extremes(sf_dir: str) -> pa.Table:
+    """Supplier count + acctbal min/max per nation name (broadcast dim
+    join; min/max are order-exact on doubles, unlike sums)."""
+    nation = _collect(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    keys = nation.column("n_nationkey").combine_chunks()
+    names = nation.column("n_name").combine_chunks()
+
+    def join(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch.column("s_nationkey"), value_set=keys)
+        got = pc.coalesce(pc.take(names, idx), pa.scalar("?"))
+        return pa.table({"nation": got, "bal": batch.column("s_acctbal")})
+
+    import polars as pl
+
+    parts = pa.concat_tables(
+        list(
+            _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+            .map_batches(join, batch_format="pyarrow")
+            .map_batches(
+                lambda b: pl.from_arrow(b)
+                .group_by("nation")
+                .agg(
+                    pl.len().alias("c"),
+                    pl.col("bal").min().alias("mn"),
+                    pl.col("bal").max().alias("mx"),
+                )
+                .to_arrow(),
+                batch_format="pyarrow",
+            )
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    t = (
+        pl.from_arrow(parts)
+        .group_by("nation")
+        .agg(
+            pl.col("c").sum().alias("n_suppliers"),
+            pl.col("mn").min().alias("min_bal"),
+            pl.col("mx").max().alias("max_bal"),
+        )
+        .sort("nation")
+        .to_arrow()
+    )
+    return pa.table(
+        {
+            "nation": t.column("nation").cast(pa.string()),
+            "n_suppliers": t.column("n_suppliers").cast(pa.int64()),
+            "min_bal": t.column("min_bal").cast(pa.float64()),
+            "max_bal": t.column("max_bal").cast(pa.float64()),
+        }
+    )
+
+
+def lineitem_returnflag_dates(sf_dir: str) -> pa.Table:
+    """Row count + shipdate range per return flag (dates as strings for
+    exact oracle parity, the events_daily_counts idiom)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        day = pc.strftime(batch.column("l_shipdate"), format="%Y-%m-%d")
+        t = pa.table({"l_returnflag": batch.column("l_returnflag"), "day": day})
+        return (
+            pl.from_arrow(t)
+            .group_by("l_returnflag")
+            .agg(
+                pl.len().alias("c"),
+                pl.col("day").min().alias("mn"),
+                pl.col("day").max().alias("mx"),
+            )
+            .to_arrow()
+        )
+
+    import polars as pl
+
+    parts = pa.concat_tables(
+        list(
+            ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    t = (
+        pl.from_arrow(parts)
+        .group_by("l_returnflag")
+        .agg(
+            pl.col("c").sum().alias("n"),
+            pl.col("mn").min().alias("min_ship"),
+            pl.col("mx").max().alias("max_ship"),
+        )
+        .sort("l_returnflag")
+        .to_arrow()
+    )
+    return pa.table(
+        {
+            "l_returnflag": t.column("l_returnflag").cast(pa.string()),
+            "n": t.column("n").cast(pa.int64()),
+            "min_ship": t.column("min_ship").cast(pa.string()),
+            "max_ship": t.column("max_ship").cast(pa.string()),
+        }
+    )
+
+
+def order_priority_by_year(sf_dir: str) -> pa.Table:
+    """Order counts per (year, priority) — two-key date-derived groupby."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch.column("o_orderdate")).cast(pa.int64())
+        return pa.table({"yr": yr, "o_orderpriority": batch.column("o_orderpriority")})
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby(["yr", "o_orderpriority"])
+        .count()
+    )
+    t = _collect(out)
+    # name-based select: pyarrow/ray agg output column order varies
+    n_col = [c for c in t.column_names if c not in ("yr", "o_orderpriority")][0]
+    t = pa.table(
+        {
+            "yr": t.column("yr").cast(pa.int64()),
+            "o_orderpriority": t.column("o_orderpriority").cast(pa.string()),
+            "n": t.column(n_col).cast(pa.int64()),
+        }
+    )
+    return t.sort_by([("yr", "ascending"), ("o_orderpriority", "ascending")])
