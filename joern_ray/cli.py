@@ -75,7 +75,7 @@ def cmd_scan(args) -> int:
         return batch.filter(m)
 
     hits = nodes.map_batches(f, batch_format="pyarrow")
-    parts = list(hits.iter_batches(batch_format="pyarrow"))
+    parts = list(hits.iter_batches(batch_format="pyarrow", batch_size=None))
     t = pa.concat_tables(parts) if parts else None
     n = t.num_rows if t is not None else 0
     print(json.dumps({"findings": n}))
@@ -115,8 +115,8 @@ def cmd_export(args) -> int:
     elif args.format == "graphml":
         from .io.export import export_graphml
 
-        nt = pa.concat_tables(list(nodes.iter_batches(batch_format="pyarrow")))
-        et = pa.concat_tables(list(edges.iter_batches(batch_format="pyarrow")))
+        nt = pa.concat_tables(list(nodes.iter_batches(batch_format="pyarrow", batch_size=None)))
+        et = pa.concat_tables(list(edges.iter_batches(batch_format="pyarrow", batch_size=None)))
         print(export_graphml(nt, et, args.out))
     else:
         print(f"unknown format {args.format}", file=sys.stderr)

@@ -59,7 +59,7 @@ def _scan_pairs(ds, pred: str, match_col: str, match_ids, emit_cols=("subj", "ob
         )
         return batch.filter(m).select(list(emit_cols))
 
-    parts = list(ds.map_batches(f, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    parts = list(ds.map_batches(f, batch_format="pyarrow").iter_batches(batch_format="pyarrow", batch_size=None))
     if not parts:
         return tuple(np.empty(0, np.uint64) for _ in emit_cols)
     t = pa.concat_tables(parts)
@@ -81,7 +81,7 @@ def _node_meta(nodes_ds, ids, columns=("id", "label", "order", "argument_index")
 
     parts = list(
         nodes_ds.map_batches(f, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
+            batch_format="pyarrow", batch_size=None
         )
     )
     return pa.concat_tables(parts) if parts else None
@@ -180,7 +180,7 @@ def _hop_join(flow_ds, frontier: np.ndarray, direction: str):
 
     parts = list(
         joined.map_batches(pick, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
+            batch_format="pyarrow", batch_size=None
         )
     )
     if not parts:
@@ -206,7 +206,7 @@ def _hop(flow_ds, frontier: np.ndarray, direction: str):
         batch_format="pyarrow",
         concurrency=2,
     )
-    parts = list(hits.iter_batches(batch_format="pyarrow"))
+    parts = list(hits.iter_batches(batch_format="pyarrow", batch_size=None))
     if not parts:
         return np.empty(0, np.uint64), np.empty(0, np.uint64)
     t = pa.concat_tables(parts)
@@ -770,7 +770,7 @@ def taint_flows(
         parts = list(
             nodes_ds_factory()
             .map_batches(f, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
         )
         if not parts:
             return np.empty(0, np.uint64)

@@ -264,7 +264,7 @@ def partitioned_write(
         tagged = tagged.repartition(num_partitions)
     written = tagged.groupby("part").map_groups(write_group, batch_format="pyarrow")
     parts_written: dict[int, int] = {}
-    for b in written.iter_batches(batch_format="pyarrow"):
+    for b in written.iter_batches(batch_format="pyarrow", batch_size=None):
         for p, r in zip(b.column("part").to_pylist(), b.column("rows").to_pylist()):
             parts_written[p] = r
     if _prof:

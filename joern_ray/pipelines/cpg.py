@@ -634,7 +634,7 @@ def build_cpg(
         for bb in (
             ray.data.read_parquet(svagg_path, columns=["skey", "ty_c"])
             .map_batches(_dotted_ty, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
         ):
             if bb.num_rows:
                 _inherit_demand = True
@@ -674,7 +674,7 @@ def build_cpg(
                 canon_path, columns=["id", "label", "type_full_name"]
             )
             .map_batches(_dotted_td, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
         ):
             _inherit_hits.extend(
                 zip(bb.column("id").to_pylist(), bb.column("tfn").to_pylist())
@@ -730,7 +730,7 @@ def build_cpg(
                     columns=["label", "name", "url"],
                 )
                 .map_batches(_mod_scan, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow", batch_size=None)
                 for m_, u_ in zip(
                     bb.column("mod").to_pylist(), bb.column("url").to_pylist()
                 )
@@ -788,7 +788,7 @@ def build_cpg(
                         canon_path, columns=["label", "name", "full_name", "url"]
                     )
                     .map_batches(_td_probe, batch_format="pyarrow")
-                    .iter_batches(batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow", batch_size=None)
                     for u_, n_, fn_ in zip(
                         bb.column("url").to_pylist(),
                         bb.column("name").to_pylist(),
@@ -935,7 +935,7 @@ def build_cpg(
                     columns=["label"] + cols,
                 )
                 .map_batches(f, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow", batch_size=None)
             ):
                 if bb.num_rows:
                     out.append(bb)
@@ -1154,7 +1154,7 @@ def build_cpg(
                         svagg_path, columns=["skey", "m_c", "ca_c"]
                     )
                     .map_batches(_want_pick, batch_format="pyarrow")
-                    .iter_batches(batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow", batch_size=None)
                     for x in bb.column("fqn").to_pylist()
                 )
                 - dyn_keyset
@@ -1203,7 +1203,7 @@ def build_cpg(
                         columns=["label", "name", "url"],
                     )
                     .map_batches(_mod_pick, batch_format="pyarrow")
-                    .iter_batches(batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow", batch_size=None)
                     for m_, u_ in zip(
                         bb.column("mod").to_pylist(), bb.column("url").to_pylist()
                     )
@@ -1254,7 +1254,7 @@ def build_cpg(
                             columns=["label", "name", "full_name", "url"],
                         )
                         .map_batches(_meth_pick, batch_format="pyarrow")
-                        .iter_batches(batch_format="pyarrow")
+                        .iter_batches(batch_format="pyarrow", batch_size=None)
                         for u_, n_, fn_ in zip(
                             bb.column("url").to_pylist(),
                             bb.column("name").to_pylist(),
@@ -1286,7 +1286,7 @@ def build_cpg(
                     svagg_path, columns=["skey", "ca_c"]
                 )
                 .map_batches(_ret_pick, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow", batch_size=None)
                 for x in bb.column("fqn").to_pylist()
             )
             - frozenset(dyn_fqn)
@@ -1323,7 +1323,7 @@ def build_cpg(
                     canon_path, columns=["label", "full_name", "signature"]
                 )
                 .map_batches(_sig_pick, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow", batch_size=None)
             ):
                 _sig_by.update(
                     zip(
@@ -1354,7 +1354,7 @@ def build_cpg(
                 for bb in (
                     ray.data.read_parquet(canon_path, columns=["label", "full_name"])
                     .map_batches(_known_pick, batch_format="pyarrow")
-                    .iter_batches(batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow", batch_size=None)
                 ):
                     _known_c.update(bb.column("full_name").to_pylist())
                 for fqn, cand in _cands.items():
@@ -1373,58 +1373,49 @@ def build_cpg(
         # workers (path spec) thrashed: 32 processes × 32-thread scans
         # re-decoding the same 150 files took the 600k edge phase from
         # 98 s to 327 s.  Measured, reverted.
+        _empty_idx = pa.table(
+            {
+                "full_name": pa.array([], pa.string()),
+                "id": pa.array([], pa.uint64()),
+                "signature": pa.array([], pa.string()),
+            }
+        )
         if n_mt:
+            # ONE parallel pass projects BOTH broadcast indexes — METHOD
+            # (fqn, id, signature) for the call linker and MEMBER
+            # (fqn, id) for FieldAccessLinkerPass.  The previous serial
+            # pads scan for MEMBER re-decoded the whole canon table on
+            # the driver (~3 s at 600k docs, a fixed Amdahl term).
+            _ML = pa.array(["METHOD", "MEMBER"])
 
             def _idx_proj(b: pa.Table) -> pa.Table:
-                m = pc.equal(b.column("label"), "METHOD")
-                return b.filter(m).select(["full_name", "id", "signature"])
+                m = pc.is_in(b.column("label"), value_set=_ML)
+                return b.filter(m).select(["label", "full_name", "id", "signature"])
 
             idx_parts = list(
                 ray.data.read_parquet(
                     canon_path, columns=["label", "full_name", "id", "signature"]
                 )
                 .map_batches(_idx_proj, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow", batch_size=None)
             )
-            idx_t = (
+            both = (
                 pa.concat_tables(idx_parts)
                 if idx_parts
-                else pa.table(
-                    {
-                        "full_name": pa.array([], pa.string()),
-                        "id": pa.array([], pa.uint64()),
-                        "signature": pa.array([], pa.string()),
-                    }
-                )
+                else _empty_idx.append_column("label", pa.array([], pa.string()))
             )
+            is_m = pc.equal(both.column("label"), "METHOD")
+            idx_t = both.filter(is_m).select(["full_name", "id", "signature"])
             # canonical names are unique; sort for deterministic layout
             index_table = idx_t.take(
                 pc.sort_indices(idx_t, sort_keys=[("full_name", "ascending")])
             )
-        else:
-            index_table = pa.table(
-                {
-                    "full_name": pa.array([], pa.string()),
-                    "id": pa.array([], pa.uint64()),
-                    "signature": pa.array([], pa.string()),
-                }
-            )
-        index_ref = ray.put(index_table)
-        # MEMBER dimension (FieldAccessLinkerPass): (full_name, id) of
-        # canonical Type.field rows — tiny projection, same gate as the
-        # method index
-        if n_mt:
-            mem_t = (
-                pads.dataset(canon_path, format="parquet")
-                .to_table(
-                    columns=["label", "full_name", "id"],
-                    filter=(
-                        (pads.field("label") == "MEMBER")
-                        & (pads.field("full_name") != "")
-                    ),
+            mem_t = both.filter(
+                pc.and_(
+                    pc.equal(both.column("label"), "MEMBER"),
+                    pc.not_equal(pc.coalesce(both.column("full_name"), pa.scalar("")), ""),
                 )
-                .select(["full_name", "id"])
-            )
+            ).select(["full_name", "id"])
             mem_t = mem_t.take(
                 pc.sort_indices(
                     mem_t,
@@ -1432,9 +1423,11 @@ def build_cpg(
                 )
             )
         else:
+            index_table = _empty_idx
             mem_t = pa.table(
                 {"full_name": pa.array([], pa.string()), "id": pa.array([], pa.uint64())}
             )
+        index_ref = ray.put(index_table)
         member_ref = ray.put(mem_t)
         _mark("index_projection")
     else:

@@ -24,7 +24,7 @@ from ..functions.hashing import hash64
 
 def _collect(ds, schema: "pa.Schema | None" = None) -> pa.Table:
     """Materialize a (small) result Dataset; empty-safe."""
-    parts = list(ds.iter_batches(batch_format="pyarrow"))
+    parts = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
     if not parts:
         return schema.empty_table() if schema is not None else pa.table({})
     return pa.concat_tables(parts)
@@ -81,7 +81,7 @@ def cpg_node_counts(sf_dir: str) -> pa.Table:
     res = _cpg_paths(sf_dir)
     ds = ray.data.read_parquet(res["nodes_path"], columns=["label"])
     out = ds.groupby("label").count().sort("label")
-    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
     return t.rename_columns(["label", "n"])
 
 
@@ -91,7 +91,7 @@ def cpg_edge_counts(sf_dir: str) -> pa.Table:
     res = _cpg_paths(sf_dir)
     ds = ray.data.read_parquet(res["edges_path"], columns=["pred"])
     out = ds.groupby("pred").count().sort("pred")
-    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
     return t.rename_columns(["pred", "n"])
 
 
@@ -130,7 +130,7 @@ def scan_dangerous_calls(sf_dir: str) -> pa.Table:
         return batch.filter(m).select(["name"])
 
     out = ds.map_batches(f, batch_format="pyarrow").groupby("name").count().sort("name")
-    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
     return t.rename_columns(["name", "n_findings"])
 
 
@@ -152,7 +152,7 @@ def cpg_call_resolution(sf_dir: str) -> pa.Table:
 
     stub_parts = list(
         nodes.map_batches(stub_ids, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
+            batch_format="pyarrow", batch_size=None
         )
     )
     stub_arr = (
@@ -181,7 +181,7 @@ def cpg_call_resolution(sf_dir: str) -> pa.Table:
     t = pa.concat_tables(
         list(
             edges.map_batches(partial, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"
+                batch_format="pyarrow", batch_size=None
             )
         )
     )
@@ -245,7 +245,7 @@ def cpg_fieldaccess_stats(sf_dir: str) -> pa.Table:
     parts = pa.concat_tables(
         list(
             nodes.map_batches(partial, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"
+                batch_format="pyarrow", batch_size=None
             )
         )
     )
@@ -264,7 +264,7 @@ def cpg_fieldaccess_stats(sf_dir: str) -> pa.Table:
         return pa.table({"n": pa.array([int(pc.sum(m).as_py() or 0)], pa.int64())})
 
     lk = pa.concat_tables(
-        list(edges.map_batches(linked, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+        list(edges.map_batches(linked, batch_format="pyarrow").iter_batches(batch_format="pyarrow", batch_size=None))
     )
     n_linked = pc.sum(lk.column("n")).as_py() or 0
     return pa.table(
@@ -306,7 +306,7 @@ def cpg_dispatch_stats(sf_dir: str) -> pa.Table:
     for b in (
         ray.data.read_parquet(res["nodes_path"], columns=["label", "name"])
         .map_batches(_imp, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
     ):
         n_imports += b.num_rows
         modules.update(x for x in b.column("name").to_pylist() if x)
@@ -351,7 +351,7 @@ def cpg_typehint_stats(sf_dir: str) -> pa.Table:
     parts = pa.concat_tables(
         list(
             nodes.map_batches(partial, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"
+                batch_format="pyarrow", batch_size=None
             )
         )
     )
@@ -370,7 +370,7 @@ def cpg_typehint_stats(sf_dir: str) -> pa.Table:
         return pa.table({"n": pa.array([int(pc.sum(m).as_py() or 0)], pa.int64())})
 
     sp = pa.concat_tables(
-        list(edges.map_batches(spec, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+        list(edges.map_batches(spec, batch_format="pyarrow").iter_batches(batch_format="pyarrow", batch_size=None))
     )
     n_spec = pc.sum(sp.column("n")).as_py() or 0
     return pa.table(
@@ -391,7 +391,7 @@ def cpg_typehint_stats(sf_dir: str) -> pa.Table:
 
 def lang_counts(sf_dir: str) -> pa.Table:
     out = _read(sf_dir, "documents", ["lang"]).groupby("lang").count().sort("lang")
-    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
     return t.rename_columns(["lang", "n"])
 
 
@@ -400,7 +400,7 @@ def exact_dedup_documents(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = exact_dedup(ds, col="text", id_col="doc_id")
-    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
     return t.select(["doc_id", "n_dups"]).sort_by("doc_id")
 
 
@@ -412,7 +412,7 @@ def token_count_ws(sf_dir: str) -> pa.Table:
         lambda b: token_count_batch(b).select(["doc_id", "n_tokens_ws"]),
         batch_format="pyarrow",
     )
-    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
     return t.sort_by("doc_id")
 
 
@@ -427,13 +427,13 @@ def doc_length_filter(sf_dir: str) -> pa.Table:
         )
 
     out = ds.map_batches(f, batch_format="pyarrow")
-    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
     return t.sort_by("doc_id")
 
 
 def top_users_by_events(sf_dir: str) -> pa.Table:
     out = _read(sf_dir, "events", ["user_id"]).groupby("user_id").count()
-    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
     t = t.rename_columns(["user_id", "n_events"])
     t = t.take(
         pc.sort_indices(
@@ -451,7 +451,7 @@ def events_daily_counts(sf_dir: str) -> pa.Table:
         return pa.table({"day": day})
 
     out = ds.map_batches(f, batch_format="pyarrow").groupby("day").count().sort("day")
-    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
     return t.rename_columns(["day", "n"])
 
 
@@ -475,7 +475,7 @@ def pricing_summary(sf_dir: str) -> pa.Table:
         .groupby(["l_returnflag", "l_linestatus"])
         .sum(["sq", "cnt"])
     )
-    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
     t = pa.table(
         {
             "l_returnflag": t.column("l_returnflag"),
@@ -492,7 +492,7 @@ def customers_per_nation(sf_dir: str) -> pa.Table:
     against the broadcast key/name arrays inside map_batches instead of a
     shuffle join (the small-side-broadcast rule)."""
     nation = pa.concat_tables(
-        list(_read(sf_dir, "nation", ["n_nationkey", "n_name"]).iter_batches(batch_format="pyarrow"))
+        list(_read(sf_dir, "nation", ["n_nationkey", "n_name"]).iter_batches(batch_format="pyarrow", batch_size=None))
     )
     keys = nation.column("n_nationkey").combine_chunks()
     names = nation.column("n_name").combine_chunks()
@@ -509,7 +509,7 @@ def customers_per_nation(sf_dir: str) -> pa.Table:
         .count()
         .sort("nation")
     )
-    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
     return t.rename_columns(["nation", "n_customers"])
 
 
@@ -521,7 +521,7 @@ def distinct_part_types(sf_dir: str) -> pa.Table:
 def orders_top_by_price(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(5)
-    return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
 
 
 # ---------------------------------------------------------------------------
@@ -570,7 +570,7 @@ def embedding_topk(sf_dir: str) -> pa.Table:
     from ..util import fixed_pool
 
     local = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=fixed_pool())
-    t = pa.concat_tables(list(local.iter_batches(batch_format="pyarrow")))
+    t = pa.concat_tables(list(local.iter_batches(batch_format="pyarrow", batch_size=None)))
     t = t.filter(pc.not_equal(t.column("vec_id"), 0))
     t = t.take(pc.sort_indices(t, sort_keys=[("cosine", "descending"), ("vec_id", "ascending")])[:10])
     return pa.table(
@@ -628,7 +628,7 @@ def embedding_ivf_topk(sf_dir: str) -> pa.Table:
     q = np.asarray(row0.column("embedding").to_pylist(), dtype=np.float32)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = ivf_topk(ds, q, k=10, n_cells=8, n_probe=3, concurrency=None)
-    return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
 
 
 def _raw_fragments_ds(sf_dir: str):
@@ -739,7 +739,7 @@ def lang_id_eval(sf_dir: str) -> pa.Table:
     out = ds.map_batches(
         lambda b: lang_id_batch(b).select(["lang", "lang_pred"]), batch_format="pyarrow"
     )
-    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
     import collections
 
     c = collections.Counter(
@@ -763,7 +763,7 @@ def doc_fingerprints(sf_dir: str) -> pa.Table:
         lambda b: fingerprint_batch(b).select(["doc_id", "fingerprint"]),
         batch_format="pyarrow",
     )
-    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
     return t.sort_by("doc_id")
 
 
@@ -777,7 +777,7 @@ def quality_scores(sf_dir: str) -> pa.Table:
         ),
         batch_format="pyarrow",
     )
-    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
     return t.sort_by("doc_id")
 
 
@@ -803,7 +803,7 @@ def media_feature_stats(sf_dir: str) -> pa.Table:
     probe = "; ".join(f"{k}={v}" for k, v in sorted(avail.items()) if k != "available")
     ds = ray.data.from_arrow(synth_media_table(n))
     out = media_features(ds, decoder="auto", batch_size=32, concurrency=None)
-    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
     import collections
 
     c = collections.Counter(t.column("media_type").to_pylist())
@@ -846,7 +846,7 @@ def dataflow_malloc_to_free(sf_dir: str) -> pa.Table:
         return b.filter(m).select(["id"])
 
     free_parts = list(
-        nodes_f().map_batches(_free_calls, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        nodes_f().map_batches(_free_calls, batch_format="pyarrow").iter_batches(batch_format="pyarrow", batch_size=None)
     )
     free_ids = (
         pa.concat_tables(free_parts).column("id").to_numpy(zero_copy_only=False)
@@ -1338,7 +1338,7 @@ def tag_overlay_stats(sf_dir: str) -> pa.Table:
     # whole column, never index row 0
     n_edges = sum(
         pc.sum(b.column("n")).as_py() or 0
-        for b in cpg.edges_ds().map_batches(_edges, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        for b in cpg.edges_ds().map_batches(_edges, batch_format="pyarrow").iter_batches(batch_format="pyarrow", batch_size=None)
     )
     return pa.table(
         {
@@ -1370,7 +1370,7 @@ def brand_part_counts(sf_dir: str) -> pa.Table:
     parts = pa.concat_tables(
         list(
             ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"
+                batch_format="pyarrow", batch_size=None
             )
         )
     )
@@ -1419,7 +1419,7 @@ def supplier_balance_extremes(sf_dir: str) -> pa.Table:
                 .to_arrow(),
                 batch_format="pyarrow",
             )
-            .iter_batches(batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
         )
     )
     t = (
@@ -1469,7 +1469,7 @@ def lineitem_returnflag_dates(sf_dir: str) -> pa.Table:
     parts = pa.concat_tables(
         list(
             ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"
+                batch_format="pyarrow", batch_size=None
             )
         )
     )

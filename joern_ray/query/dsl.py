@@ -68,7 +68,7 @@ class NodeSteps:
 
     def _ids(self) -> set[int]:
         out: set[int] = set()
-        for b in self.ds.iter_batches(batch_format="pyarrow"):
+        for b in self.ds.iter_batches(batch_format="pyarrow", batch_size=None):
             out.update(b.column("id").to_pylist())
         return out
 
@@ -95,7 +95,7 @@ class NodeSteps:
         if n > gate:
             return self._expand_join(src_ds, preds_arr, src_col, dst_col)
         ids: set[int] = set()
-        for b in src_ds.iter_batches(batch_format="pyarrow"):
+        for b in src_ds.iter_batches(batch_format="pyarrow", batch_size=None):
             ids.update(b.column("id").to_pylist())
         ids_arr = pa.array(list(ids), pa.uint64())
 
@@ -110,7 +110,7 @@ class NodeSteps:
 
         hop = self.cpg.edges_ds().map_batches(edge_hop, batch_format="pyarrow")
         target_ids: set[int] = set()
-        for b in hop.iter_batches(batch_format="pyarrow"):
+        for b in hop.iter_batches(batch_format="pyarrow", batch_size=None):
             target_ids.update(b.column("id").to_pylist())
         tarr = pa.array(list(target_ids), pa.uint64())
 
@@ -243,7 +243,7 @@ class NodeSteps:
         for b in (
             self.cpg.edges_ds()
             .map_batches(pick, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
         ):
             pairs.extend(zip(b.column("subj").to_pylist(), b.column("obj").to_pylist()))
         return pairs
@@ -327,7 +327,7 @@ class NodeSteps:
 
         pat = _re.compile(f"^(?:{regex})$")
         # check the roots themselves
-        for b in self.ds.iter_batches(batch_format="pyarrow"):
+        for b in self.ds.iter_batches(batch_format="pyarrow", batch_size=None):
             for nid, lab, nm in zip(
                 b.column("id").to_pylist(),
                 b.column("label").to_pylist(),
@@ -354,7 +354,7 @@ class NodeSteps:
             for b in (
                 self.cpg.nodes_ds()
                 .map_batches(pick, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow", batch_size=None)
             ):
                 for nid, nm in zip(b.column("id").to_pylist(), b.column("name").to_pylist()):
                     if nm and pat.fullmatch(nm):
@@ -425,7 +425,7 @@ class NodeSteps:
         for b in (
             self.cpg.nodes_ds()
             .map_batches(pick, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
         ):
             anchors.update(b.column("id").to_pylist())
         matched: set[int] = set()
@@ -452,7 +452,7 @@ class NodeSteps:
                 for b in (
                     self.cpg.edges_ds()
                     .map_batches(up, batch_format="pyarrow")
-                    .iter_batches(batch_format="pyarrow")
+                    .iter_batches(batch_format="pyarrow", batch_size=None)
                 ):
                     pairs.extend(
                         zip(b.column("subj").to_pylist(), b.column("obj").to_pylist())
@@ -500,7 +500,7 @@ class NodeSteps:
         """Distinct by node id (reference `dedup`)."""
         seen: set[int] = set()
         parts: list[pa.Table] = []
-        for b in self.ds.iter_batches(batch_format="pyarrow"):
+        for b in self.ds.iter_batches(batch_format="pyarrow", batch_size=None):
             ids = b.column("id").to_pylist()
             keep = [i for i, nid in enumerate(ids) if nid not in seen and not seen.add(nid)]
             parts.append(b.take(keep))
@@ -521,7 +521,7 @@ class NodeSteps:
             return pa.table({column: vc.field("values").cast(pa.string()), "n": vc.field("counts")})
 
         parts = list(
-            self.ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+            self.ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow", batch_size=None)
         )
         if not parts:
             return pa.table({column: pa.array([], pa.string()), "n": pa.array([], pa.int64())})
@@ -556,7 +556,7 @@ class NodeSteps:
     # ---- materializers (reference Steps.l / toJson) -------------------
 
     def l(self, columns: list[str] | None = None) -> pa.Table:  # noqa: E743
-        parts = list(self.ds.iter_batches(batch_format="pyarrow"))
+        parts = list(self.ds.iter_batches(batch_format="pyarrow", batch_size=None))
         t = pa.concat_tables(parts) if parts else None
         if t is None:
             import pyarrow as _pa

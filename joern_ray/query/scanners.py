@@ -229,7 +229,7 @@ def q_empty_catch(cpg: Cpg) -> pa.Table:
         for b in (
             cpg.edges_ds()
             .map_batches(_nonempty, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
         ):
             nonempty_parents.update(b.column("subj").to_pylist())
     empty_blocks = block_ids - nonempty_parents
@@ -377,7 +377,7 @@ def q_retval_unchecked(cpg: Cpg) -> pa.Table:
 
     bare: set[int] = set()
     for b in edges.map_batches(probe, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
+        batch_format="pyarrow", batch_size=None
     ):
         bare.update(b.column("obj").to_pylist())
     hit = t.filter(
@@ -421,7 +421,7 @@ def q_toctou(cpg: Cpg) -> pa.Table:
     for b in (
         cpg.edges_ds()
         .map_batches(pick, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
     ):
         pairs.extend(zip(b.column("subj").to_pylist(), b.column("obj").to_pylist()))
     # restrict containers to METHODs (CONTAINS also runs from TYPE_DECL;
@@ -536,7 +536,7 @@ def _contains_pairs(cpg: Cpg, probe_ids: set) -> list[tuple[int, int]]:
     for b in (
         cpg.edges_ds()
         .map_batches(pick, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
     ):
         pairs.extend(zip(b.column("subj").to_pylist(), b.column("obj").to_pylist()))
     cont = {s for s, _o in pairs}
@@ -659,7 +659,7 @@ def q_too_high_complexity(cpg: Cpg) -> pa.Table:
     )
     counts = bucketed_group_agg(joined, ["subj"], [("obj", "count")], num_buckets=8)
     hot: set[int] = set()
-    for b in counts.iter_batches(batch_format="pyarrow"):
+    for b in counts.iter_batches(batch_format="pyarrow", batch_size=None):
         hit = b.filter(pc.greater(b.column("obj_count"), 4))
         hot.update(hit.column("subj").to_pylist())
     if not hot:
@@ -886,10 +886,34 @@ BUNDLE: tuple[Query, ...] = (
             "int run_ok(char *cmd) {\n  return printf(cmd);\n}\n",
         ),
     ),
-    Query("format-string", "non-literal format", 6.0, q_format_string, ("c", "cwe-134")),
-    Query("malloc-unchecked", "unchecked malloc", 3.0, q_malloc_no_check, ("c",)),
-    Query("use-after-free-candidate", "UAF candidate", 9.0, q_free_use, ("c", "cwe-416")),
-    Query("large-stack-buffer", "large stack buffer", 4.0, q_large_stack_buffer, ("c",)),
+    Query(
+        "format-string", "non-literal format", 6.0, q_format_string, ("c", "cwe-134"),
+        CodeExamples(
+            'void log_msg(char *msg) {\n  printf(msg);\n}\n',
+            'void log_ok(void) {\n  printf("starting up");\n}\n',
+        ),
+    ),
+    Query(
+        "malloc-unchecked", "unchecked malloc", 3.0, q_malloc_no_check, ("c",),
+        CodeExamples(
+            "void mk(void) {\n  char *p = malloc(16);\n  p[0] = 0;\n}\n",
+            "void mk_ok(void) {\n  char buf[16];\n  buf[0] = 0;\n}\n",
+        ),
+    ),
+    Query(
+        "use-after-free-candidate", "UAF candidate", 9.0, q_free_use, ("c", "cwe-416"),
+        CodeExamples(
+            "void uaf(void) {\n  char *p = malloc(8);\n  free(p);\n}\n",
+            "void release(char *q) {\n  free(q);\n}\n",
+        ),
+    ),
+    Query(
+        "large-stack-buffer", "large stack buffer", 4.0, q_large_stack_buffer, ("c",),
+        CodeExamples(
+            "void big(void) {\n  char buf[4096];\n  buf[0] = 1;\n}\n",
+            "void small(void) {\n  char buf[8];\n  buf[0] = 1;\n}\n",
+        ),
+    ),
     Query(
         "mult-in-alloc", "multiplication in malloc size", 7.0, q_int_mult_alloc,
         ("c", "cwe-190"),
@@ -952,7 +976,14 @@ BUNDLE: tuple[Query, ...] = (
             "long parse_ok(char *s) {\n  long v = strtol(s, 0, 10);\n  return v;\n}\n",
         ),
     ),
-    Query("empty-catch", "swallowed exception", 3.0, q_empty_catch, ("java",)),
+    Query(
+        "empty-catch", "swallowed exception", 3.0, q_empty_catch, ("java",),
+        CodeExamples(
+            "class Swallow {\n  void f() {\n    try {\n      g();\n    } catch (Exception e) {}\n  }\n  void g() {}\n}\n",
+            "class Handle {\n  void f() {\n    try {\n      g();\n    } catch (Exception e) {\n      report(e);\n    }\n  }\n  void g() {}\n}\n",
+            lang="java",
+        ),
+    ),
     Query(
         "copy-loop", "index copy loop without bound", 6.0, q_copy_loop,
         ("c", "cwe-120"),

@@ -312,6 +312,124 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", num_perm=128, bands=
     )
 
 
+def _cc_labels(band_rows, id_col, num_partitions, max_rounds=32):
+    """Connected-component labels over the doc–bucket bipartite LSH
+    graph: label(x) = min doc id in x's component (hash-to-min).
+
+    Each round: join current labels onto the (id, band, bucket) rows,
+    take the min label per bucket, push it back to every bucket member,
+    keep the per-id min.  The label multiset is monotone non-increasing,
+    so an unchanged per-round label SUM is a fixpoint — one cheap
+    aggregate instead of a change-count join.  Rounds needed = component
+    diameter in doc→bucket→doc hops (log-ish for dense near-dup
+    clusters); `max_rounds` is a runaway bound, not the semantics.
+
+    Everything is bucketed joins/aggs over O(reps × bands) rows —
+    nothing O(corpus) reaches the driver.  Returns (jid, cur) labels."""
+    from ..util import bucketed_group_agg, bucketed_join
+
+    def _norm(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b.column(id_col).cast(pa.int64()),
+                "band": b.column("band").cast(pa.int32()),
+                "bucket": b.column("bucket").cast(pa.uint64()),
+            }
+        )
+
+    br = band_rows.map_batches(_norm, batch_format="pyarrow").materialize()
+
+    def _as_labels(ds_):
+        return ds_.map_batches(
+            lambda b: pa.table(
+                {
+                    "jid": b.column(id_col).cast(pa.int64()),
+                    "cur": b.column("cur_min").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    labels = _as_labels(
+        bucketed_group_agg(
+            br.map_batches(
+                lambda b: pa.table(
+                    {id_col: b.column(id_col), "cur": b.column(id_col)}
+                ),
+                batch_format="pyarrow",
+            ),
+            [id_col],
+            [("cur", "min")],
+            num_buckets=num_partitions,
+        )
+    )
+
+    def _lab_sum(ds_) -> int:
+        s = 0
+        for b in ds_.iter_batches(batch_format="pyarrow", batch_size=None):
+            s += pc.sum(b.column("cur")).as_py() or 0
+        return s
+
+    prev = _lab_sum(labels)
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        lab_rows = bucketed_join(
+            br,
+            [(id_col, pa.int64()), ("band", pa.int32()), ("bucket", pa.uint64())],
+            labels,
+            [("jid", pa.int64()), ("cur", pa.int64())],
+            on=(id_col,),
+            right_on=("jid",),
+            num_buckets=num_partitions,
+        ).materialize()  # consumed twice below (agg + pickup join)
+        bmin = bucketed_group_agg(
+            lab_rows, ["band", "bucket"], [("cur", "min")], num_buckets=num_partitions
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "jband": b.column("band").cast(pa.int32()),
+                    "jbucket": b.column("bucket").cast(pa.uint64()),
+                    "bcur": b.column("cur_min").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        picked = bucketed_join(
+            lab_rows,
+            [
+                (id_col, pa.int64()),
+                ("band", pa.int32()),
+                ("bucket", pa.uint64()),
+                ("cur", pa.int64()),
+            ],
+            bmin,
+            [("jband", pa.int32()), ("jbucket", pa.uint64()), ("bcur", pa.int64())],
+            on=("band", "bucket"),
+            right_on=("jband", "jbucket"),
+            num_buckets=num_partitions,
+        )
+
+        def _pick(b: pa.Table) -> pa.Table:
+            cur = b.column("cur")
+            new = pc.min_element_wise(cur, pc.coalesce(b.column("bcur"), cur))
+            return pa.table({id_col: b.column(id_col), "cur": new})
+
+        labels = _as_labels(
+            bucketed_group_agg(
+                picked.map_batches(_pick, batch_format="pyarrow"),
+                [id_col],
+                [("cur", "min")],
+                num_buckets=num_partitions,
+            )
+        )
+        s = _lab_sum(labels)
+        if s == prev:
+            break
+        prev = s
+    return labels, rounds
+
+
 def minhash_dedup(
     ds,
     text_col="text",
@@ -321,6 +439,8 @@ def minhash_dedup(
     concurrency=None,
     driver_gate=2_000_000,
     num_partitions=32,
+    transitive=False,
+    cc_max_rounds=32,
 ):
     """Scalable near-dup COLLAPSE: (id -> canonical_id) cluster mapping.
 
@@ -352,10 +472,14 @@ def minhash_dedup(
 
     `ds` is consumed twice (projection + rep-text pull) — pass a
     checkpoint/Parquet-backed Dataset so re-execution is a re-read.
-    One union-find hop; documents transitively linked only through
-    longer chains keep separate canonicals (bounded-round choice, same
-    spirit as the reference's fixed-iteration type recovery,
-    `XTypeRecovery.scala:143-145`)."""
+    By default: one union-find hop; documents transitively linked only
+    through longer chains keep separate canonicals (bounded-round
+    choice, same spirit as the reference's fixed-iteration type
+    recovery, `XTypeRecovery.scala:143-145`).  `transitive=True`
+    switches to FULL connected components over the LSH graph
+    (hash-to-min via `_cc_labels`, fixpoint-detected, `cc_max_rounds`
+    as a runaway bound) at the cost of O(rounds) extra band-row
+    shuffles."""
     import ray
 
     from ..functions.hashing import hash64
@@ -408,7 +532,7 @@ def minhash_dedup(
         # unique contents are their own rep, no entry needed
         dup_ch: list[int] = []
         dup_rep: list[int] = []
-        for b in agg1.iter_batches(batch_format="pyarrow"):
+        for b in agg1.iter_batches(batch_format="pyarrow", batch_size=None):
             dup = b.filter(pc.greater(b.column(cnt_col), 1))
             dup_ch.extend(dup.column("chash").to_pylist())
             dup_rep.extend(dup.column(min_col).to_pylist())
@@ -495,6 +619,41 @@ def minhash_dedup(
         )
         band_rows = _minhash(rep_rows)
 
+    if transitive:
+        # ---- full connected components (opt-in) -----------------------
+        # hash-to-min over the LSH graph: near-dup CHAINS (A~B, B~C with
+        # A,C sharing no bucket) collapse to one canonical, unlike the
+        # default single union-find hop below.  Costs O(rounds) extra
+        # shuffles over the rep band rows — pay it when transitive
+        # closure matters more than wall time.
+        from ..util import bucketed_join
+
+        labels, _cc_rounds = _cc_labels(
+            band_rows, id_col, num_partitions, max_rounds=cc_max_rounds
+        )
+        final = bucketed_join(
+            m1_map,
+            [(id_col, pa.int64()), ("rep", pa.int64())],
+            labels,
+            [("jid", pa.int64()), ("cur", pa.int64())],
+            on=("rep",),
+            right_on=("jid",),
+            how="left_outer",
+            num_buckets=num_partitions,
+        )
+
+        def _final_cc(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: b.column(id_col),
+                    "canonical_id": pc.coalesce(
+                        b.column("cur"), b.column("rep")
+                    ).cast(pa.int64()),
+                }
+            )
+
+        return final.map_batches(_final_cc, batch_format="pyarrow")
+
     # ---- level 2: bucket min + per-rep global min (built-in aggs) -----
     # The bucket-min PICKUP differs per regime: the broadcast regime must
     # stay join-free — `Dataset.join`'s hash-shuffle aggregator ACTORS
@@ -515,7 +674,7 @@ def minhash_dedup(
         bands_l: list[int] = []
         buckets_l: list[int] = []
         mins_l: list[int] = []
-        for b in bmin.iter_batches(batch_format="pyarrow"):
+        for b in bmin.iter_batches(batch_format="pyarrow", batch_size=None):
             dup = b.filter(pc.greater(b.column(cnt_col), 1))
             bands_l.extend(dup.column("band").to_pylist())
             buckets_l.extend(dup.column("bucket").to_pylist())
@@ -604,7 +763,7 @@ def minhash_dedup(
     if use_broadcast:
         # collapse map is O(collapsed reps) — compress fully on the driver
         cmap: dict = {}
-        for b in collapsed.iter_batches(batch_format="pyarrow"):
+        for b in collapsed.iter_batches(batch_format="pyarrow", batch_size=None):
             cmap.update(zip(b.column("cfrom").to_pylist(), b.column("cto").to_pylist()))
         for k in list(cmap):
             v = cmap[k]
@@ -646,14 +805,26 @@ def minhash_dedup(
 
         return m1_map.map_batches(finalize, batch_format="pyarrow")
 
-    # distributed fixed-round compression: 3 self-joins => chains ≤ 2^3.
+    # distributed pointer-doubling compression, CONVERGENCE-CHECKED:
+    # collapse edges always point strictly downward (cand_min < id), so
+    # the sum of cto values is monotone decreasing and an unchanged
+    # round-sum is a fixpoint — chains of ANY length compress, with the
+    # round bound (6 => chains ≤ 2^6) only as a runaway guard.
     # repartition first: groupby/join operators emit schema-less EMPTY
     # blocks for empty hash partitions, and an acero join crashes on a
     # left partition assembled only from those ("No match ... FieldRef");
     # coalescing merges them into schema-carrying blocks.  The collapsed
     # set is O(collapsed reps) — small relative to the corpus.
     collapsed = collapsed.repartition(max(2, num_partitions // 4)).materialize()
-    for _ in range(3):
+
+    def _cto_sum(ds_) -> int:
+        s = 0
+        for b in ds_.iter_batches(batch_format="pyarrow", batch_size=None):
+            s += pc.sum(b.column("cto")).as_py() or 0
+        return s
+
+    prev_sum = _cto_sum(collapsed)
+    for _ in range(6):
         nxt = collapsed.join(
             collapsed.map_batches(
                 lambda b: pa.table({"jfrom": b.column("cfrom"), "jto": b.column("cto")}),
@@ -678,6 +849,10 @@ def minhash_dedup(
             .repartition(max(2, num_partitions // 4))
             .materialize()
         )
+        s = _cto_sum(collapsed)
+        if s == prev_sum:
+            break
+        prev_sum = s
 
     joined = m1_map.join(
         collapsed.map_batches(

@@ -417,7 +417,7 @@ def method_index_table(methods_ds) -> pa.Table:
 
     parts = list(
         methods_ds.map_batches(project, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
+            batch_format="pyarrow", batch_size=None
         )
     )
     if not parts:
@@ -1168,7 +1168,7 @@ def dyn_candidates_distributed(
     if final is None:
         return _EMPTY_OUT
     out_parts: list[pa.Table] = []
-    for b in final.iter_batches(batch_format="pyarrow"):
+    for b in final.iter_batches(batch_format="pyarrow", batch_size=None):
         if b.num_rows:
             out_parts.append(b.select(["fqn", "cand", "rank"]))
     if not out_parts:
@@ -2032,7 +2032,7 @@ def key_count_survey(ds, column: str, threshold: int) -> set[str]:
         .sum("c")
     )
     out: set[str] = set()
-    for b in counts.iter_batches(batch_format="pyarrow"):
+    for b in counts.iter_batches(batch_format="pyarrow", batch_size=None):
         ks = b.column("k").to_pylist()
         cs = b.column("sum(c)").to_pylist()
         out.update(k for k, c in zip(ks, cs) if c >= threshold)
