@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_extremes": q.supplier_balance_extremes,
         "lineitem_returnflag_dates": q.lineitem_returnflag_dates,
         "order_priority_by_year": q.order_priority_by_year,
+        "orders_by_nation_status": q.orders_by_nation_status,
     }
 
 
@@ -209,5 +210,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority, "
             "count(*) AS n FROM orders GROUP BY yr, o_orderpriority "
             "ORDER BY yr, o_orderpriority"
+        ),
+        "orders_by_nation_status": (
+            "SELECT n_name AS nation, o_orderstatus, count(*) AS n_orders, "
+            "strftime(min(o_orderdate), '%Y-%m-%d') AS min_date, "
+            "strftime(max(o_orderdate), '%Y-%m-%d') AS max_date "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name, o_orderstatus ORDER BY nation, o_orderstatus"
         ),
     }

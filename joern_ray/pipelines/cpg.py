@@ -554,19 +554,26 @@ def build_cpg(
         from ..io.checkpoint import write_manifest as _wm
         from ..stages.link import ast_link_cross_fragment
 
-        _canon_td_t = pads.dataset(canon_path, format="parquet").to_table(
-            columns=["label", "full_name", "id"],
-            filter=(pads.field("label") == "TYPE_DECL")
-            & pads.field("full_name").isin(
-                pa.array(sorted(td_dup_fqns), pa.string())
-            ),
-        )
-        canon_td_ids = dict(
-            zip(
-                _canon_td_t.column("full_name").to_pylist(),
-                _canon_td_t.column("id").to_pylist(),
+        # parallel streamed filter (a serial pads.to_table here decoded
+        # the whole canon table on the driver — a fixed Amdahl term)
+        _td_arr = pa.array(sorted(td_dup_fqns), pa.string())
+
+        def _td_pick(b: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.equal(b.column("label"), "TYPE_DECL"),
+                pc.is_in(b.column("full_name"), value_set=_td_arr),
             )
-        )
+            return b.filter(m).select(["full_name", "id"])
+
+        canon_td_ids: dict = {}
+        for _tb in (
+            ray.data.read_parquet(canon_path, columns=["label", "full_name", "id"])
+            .map_batches(_td_pick, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        ):
+            canon_td_ids.update(
+                zip(_tb.column("full_name").to_pylist(), _tb.column("id").to_pylist())
+            )
         if canon_td_ids:
             ast_link_cross_fragment(
                 lambda: ray.data.read_parquet(
@@ -883,14 +890,33 @@ def build_cpg(
     )
     if dyn_regime == "driver":
         if n_mt:
-            td_proj = (
-                pads.dataset(canon_path, format="parquet")
-                .to_table(
-                    columns=["label", "full_name", "type_full_name"],
-                    filter=(
-                        (pads.field("label") == "TYPE_DECL")
-                        & (pads.field("type_full_name") != "")
+            # parallel streamed filter (serial pads.to_table decoded the
+            # whole canon table driver-side)
+            def _td_proj_pick(b: pa.Table) -> pa.Table:
+                m = pc.and_(
+                    pc.equal(b.column("label"), "TYPE_DECL"),
+                    pc.not_equal(
+                        pc.coalesce(b.column("type_full_name"), pa.scalar("")), ""
                     ),
+                )
+                return b.filter(m)
+
+            _td_parts = list(
+                ray.data.read_parquet(
+                    canon_path, columns=["label", "full_name", "type_full_name"]
+                )
+                .map_batches(_td_proj_pick, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow", batch_size=None)
+            )
+            td_proj = (
+                pa.concat_tables(_td_parts)
+                if _td_parts
+                else pa.table(
+                    {
+                        "label": pa.array([], pa.string()),
+                        "full_name": pa.array([], pa.string()),
+                        "type_full_name": pa.array([], pa.string()),
+                    }
                 )
             )
         else:

@@ -1494,6 +1494,76 @@ def lineitem_returnflag_dates(sf_dir: str) -> pa.Table:
     )
 
 
+def orders_by_nation_status(sf_dir: str) -> pa.Table:
+    """Order count + date range per (customer nation, order status) — a
+    fact-to-fact distributed join (orders ⋈ customer on custkey via
+    `bucketed_join`: neither side broadcasts, the scale-correct shape
+    when both sides grow with the corpus) followed by a tiny broadcast
+    dim lookup (nation) and a bucketed group-agg."""
+    from ..util import bucketed_group_agg, bucketed_join
+
+    nation = _collect(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    nkeys = nation.column("n_nationkey").combine_chunks().cast(pa.int32())
+    nnames = nation.column("n_name").combine_chunks()
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "day": pc.strftime(batch.column("o_orderdate"), format="%Y-%m-%d"),
+            }
+        )
+
+    def c_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "jcust": batch.column("c_custkey"),
+                "nkey": batch.column("c_nationkey"),
+            }
+        )
+
+    joined = bucketed_join(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_orderdate"]).map_batches(
+            o_prep, batch_format="pyarrow"
+        ),
+        [("o_custkey", pa.int64()), ("o_orderstatus", pa.string()), ("day", pa.string())],
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            c_prep, batch_format="pyarrow"
+        ),
+        [("jcust", pa.int64()), ("nkey", pa.int32())],
+        on=("o_custkey",),
+        right_on=("jcust",),
+    )
+
+    def with_nation(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch.column("nkey").cast(pa.int32()), value_set=nkeys)
+        return pa.table(
+            {
+                "nation": pc.take(nnames, idx),
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "day": batch.column("day"),
+            }
+        )
+
+    out = bucketed_group_agg(
+        joined.map_batches(with_nation, batch_format="pyarrow"),
+        ["nation", "o_orderstatus"],
+        [("day", "count"), ("day", "min"), ("day", "max")],
+    )
+    t = _collect(out)
+    t = pa.table(
+        {
+            "nation": t.column("nation").cast(pa.string()),
+            "o_orderstatus": t.column("o_orderstatus").cast(pa.string()),
+            "n_orders": t.column("day_count").cast(pa.int64()),
+            "min_date": t.column("day_min").cast(pa.string()),
+            "max_date": t.column("day_max").cast(pa.string()),
+        }
+    )
+    return t.sort_by([("nation", "ascending"), ("o_orderstatus", "ascending")])
+
+
 def order_priority_by_year(sf_dir: str) -> pa.Table:
     """Order counts per (year, priority) — two-key date-derived groupby."""
     ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
