@@ -62,9 +62,13 @@ def cmd_scan(args) -> int:
     import ray.data
 
     _ray_init(args.num_cpus)
+    from .pipelines.cpg import nodes_paths
+
     names = args.names.split(",")
+    # nodes are MULTI-ROOT (parse nodes + canonical mt + dims — never
+    # rewritten); nodes_paths expands every root's parquet files
     nodes = ray.data.read_parquet(
-        f"{args.cpg}/nodes", columns=["id", "label", "name", "code", "url", "line"]
+        nodes_paths(args.cpg), columns=["id", "label", "name", "code", "url", "line"]
     )
 
     def f(batch: pa.Table) -> pa.Table:
@@ -103,9 +107,9 @@ def cmd_export(args) -> int:
     import ray.data
 
     _ray_init(args.num_cpus)
-    from .pipelines.cpg import read_edges
+    from .pipelines.cpg import nodes_paths, read_edges
 
-    nodes = ray.data.read_parquet(f"{args.cpg}/nodes")
+    nodes = ray.data.read_parquet(nodes_paths(args.cpg))
     edges = read_edges(args.cpg)
     if args.format == "neo4jcsv":
         from .io.export import export_neo4j_csv
@@ -114,7 +118,17 @@ def cmd_export(args) -> int:
         print(json.dumps(res))
     elif args.format == "graphml":
         from .io.export import export_graphml
+        from .pipelines.cpg import nodes_paths as _np
+        from .schemas import NODES_SCHEMA
 
+        # fixed projection: the roots carry differing extra columns
+        # (same normalization as the query DSL's nodes_ds)
+        nodes = ray.data.read_parquet(
+            _np(args.cpg),
+            columns=[
+                n for n in NODES_SCHEMA.names if n != "dynamic_type_hint_full_name"
+            ],
+        )
         nt = pa.concat_tables(list(nodes.iter_batches(batch_format="pyarrow", batch_size=None)))
         et = pa.concat_tables(list(edges.iter_batches(batch_format="pyarrow", batch_size=None)))
         print(export_graphml(nt, et, args.out))
@@ -128,13 +142,48 @@ def cmd_query(args) -> int:
     from .query.dsl import Cpg
 
     _ray_init(args.num_cpus)
-    cpg = Cpg(f"{args.cpg}/nodes", f"{args.cpg}/edges")
+    from .pipelines.cpg import edges_paths, nodes_paths
+
+    cpg = Cpg(nodes_paths(args.cpg), edges_paths(args.cpg))
     steps = getattr(cpg, args.starter)(args.name) if args.name else getattr(cpg, args.starter)()
     if args.call_in:
         steps = steps.call_in()
     t = steps.l(["label", "name", "code", "url", "line"])
     for row in t.to_pylist()[: args.limit]:
         print(json.dumps(row))
+    return 0
+
+
+def cmd_console(args) -> int:
+    """Interactive console / scripted eval (reference joern REPL,
+    `console/.../Console.scala` + `joern --script`): binds `cpg` (the
+    query-DSL root over the CPG at --cpg) plus pa/pc, then either
+    evaluates --eval expressions and prints their results, or drops
+    into an interactive Python REPL."""
+    import code
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pipelines.cpg import edges_paths, nodes_paths
+    from .query.dsl import Cpg
+
+    _ray_init(args.num_cpus)
+    cpg = Cpg(nodes_paths(args.cpg), edges_paths(args.cpg))
+    ns = {"cpg": cpg, "pa": pa, "pc": pc}
+    if args.eval:
+        for expr in args.eval:
+            out = eval(expr, ns)  # noqa: S307 — the user's own script line
+            if isinstance(out, pa.Table):
+                for row in out.to_pylist()[: args.limit]:
+                    print(json.dumps(row, default=str))
+            elif out is not None:
+                print(out)
+        return 0
+    code.interact(
+        banner="joern_ray console — `cpg` is bound (e.g. cpg.method('^main').l())",
+        local=ns,
+    )
     return 0
 
 
@@ -169,6 +218,15 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--call-in", action="store_true")
     pq.add_argument("--limit", type=int, default=20)
     pq.set_defaults(fn=cmd_query)
+
+    pc_ = sub.add_parser("console", parents=[common])
+    pc_.add_argument("--cpg", required=True)
+    pc_.add_argument(
+        "--eval", action="append",
+        help="expression over `cpg` to evaluate (repeatable); omit for a REPL",
+    )
+    pc_.add_argument("--limit", type=int, default=20)
+    pc_.set_defaults(fn=cmd_console)
 
     args = p.parse_args(argv)
     rc = args.fn(args)
